@@ -1,0 +1,144 @@
+"""Command-line runner for named scenarios.
+
+The reference has no CLI (each experiment is a standalone script,
+SURVEY §1); this exposes the scenario registry:
+
+    python -m swmhd_tpu.cli run 64x64_two_Gaussians_high_B \
+        --formulation vector_invariant --outdir runs/high_B
+    python -m swmhd_tpu.cli list
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def _add_run_args(p):
+    p.add_argument("scenario")
+    p.add_argument("--formulation", default="vector_invariant",
+                   choices=["vector_invariant", "conservative"])
+    p.add_argument("--dt", type=float, default=None)
+    p.add_argument("--stop-time", type=float, default=None)
+    p.add_argument("--outdir", default=None)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"])
+    p.add_argument("--fields-interval", type=float, default=0.1,
+                   help="TimeInterval for field snapshots (reference: 0.1)")
+    p.add_argument("--energies-every", type=int, default=1,
+                   help="IterationInterval for energy series (reference: 1)")
+    p.add_argument("--progress-every", type=int, default=100)
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="iterations between checkpoints (0 = off)")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint file to resume from")
+    p.add_argument("--movie", action="store_true",
+                   help="render A/speed movie + energy plot after the run")
+
+
+def cmd_list(_args):
+    from . import scenarios
+    for name in scenarios.names():
+        sc = scenarios.get(name)
+        print(f"{name:34s} N={sc.N:<5d} stop_time={sc.stop_time:<6g} "
+              f"{sc.description}")
+
+
+def cmd_run(args):
+    from . import scenarios, diagnostics, checkpoint
+    from .simulation import (
+        Simulation, IterationInterval, TimeInterval, Callback,
+        progress_callback)
+    from .io import FieldWriter, ScalarSeriesWriter
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(message)s")
+
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    model, state, sc = scenarios.build(args.scenario, args.formulation,
+                                       dtype=dtype)
+    dt = args.dt if args.dt is not None else sc.dt
+    stop_time = args.stop_time if args.stop_time is not None else sc.stop_time
+
+    # PE is measured against the t=0 height of the scenario
+    # (SWMHD_example.jl:76) — capture it BEFORE any resume overwrite.
+    h0 = state.h
+    if args.resume:
+        state = checkpoint.restore(args.resume, model.grid)
+
+    outdir = args.outdir or os.path.join(
+        "runs", f"{args.scenario}_{args.formulation}")
+    os.makedirs(outdir, exist_ok=True)
+
+    sim = Simulation(model, dt=dt, stop_time=stop_time)
+    sim.callbacks["progress"] = Callback(
+        progress_callback(), IterationInterval(args.progress_every))
+
+    def field_outputs():
+        def speed(s):
+            u, v = s.model.velocities(s.state)
+            import swmhd_tpu.operators as op
+            g = s.model.grid
+            return jnp.sqrt(op.ix_c(u, g) ** 2 + op.iy_c(v, g) ** 2)
+        return {
+            "A": lambda s: s.state.A,
+            "h": lambda s: s.state.h,
+            "u": lambda s: s.model.velocities(s.state)[0],
+            "v": lambda s: s.model.velocities(s.state)[1],
+            "s": speed,
+        }
+
+    sim.output_writers["fields"] = FieldWriter(
+        outputs=field_outputs(),
+        schedule=TimeInterval(args.fields_interval),
+        path=os.path.join(outdir, "fields"))
+
+    energy_names = ("kinetic_energy", "magnetic_energy",
+                    "potential_energy", "total_energy", "cross_helicity")
+
+    def energies(model, state):
+        rep = diagnostics.energy_report(model, state, h0)
+        return {name: rep[name] for name in energy_names}
+
+    sim.output_writers["energies"] = ScalarSeriesWriter(
+        fn=energies,
+        schedule=IterationInterval(args.energies_every),
+        path=os.path.join(outdir, "energies.csv"))
+
+    if args.checkpoint_every:
+        def ckpt(s):
+            checkpoint.save(os.path.join(outdir, "checkpoint.npz"),
+                            s.state, s.model.grid)
+        sim.callbacks["checkpoint"] = Callback(
+            ckpt, IterationInterval(args.checkpoint_every))
+
+    final = sim.run(state)
+    checkpoint.save(os.path.join(outdir, "final.npz"), final, model.grid)
+    print(f"done: {outdir} ({sim.run_wall_time:.1f}s wall)")
+
+    if args.movie:
+        from .viz import render_scenario_outputs
+        render_scenario_outputs(outdir, title=args.scenario)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="swmhd_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list").set_defaults(func=cmd_list)
+    runp = sub.add_parser("run")
+    _add_run_args(runp)
+    runp.set_defaults(func=cmd_run)
+    args = ap.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

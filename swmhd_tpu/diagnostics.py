@@ -1,0 +1,100 @@
+"""In-graph scalar diagnostics: energies, cross-helicity, field extrema.
+
+Reproduces the reference's energy functionals (jacobian_formulation/
+SWMHD_example.jl:74-77, divergence_formulation/divergence_sw_mhd.jl:71-74):
+domain integrals computed as ``mean(·)·Lx·Ly`` (uniform-grid quadrature),
+potential energy measured against the *initial* height field, plus the
+progress-log extrema (max|u|, max A, min h — SWMHD_example.jl:54-58) and a
+cross-helicity integral ∫ h u·B the reference lacks (SURVEY §5 metrics row).
+
+Note (SURVEY §2.3.4): the reference's "relative energy error (%)" is the
+*absolute* deviation ×100; `total_energy_deviation` reproduces the quantity
+under an honest name.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .grid import Grid
+from . import operators as op
+from .physics.lorentz import magnetic_field_cc
+
+
+def _integral(field, grid: Grid):
+    return jnp.mean(field) * grid.Lx * grid.Ly
+
+
+def kinetic_energy(u, v, h, grid: Grid):
+    """∫ ½ h (u²+v²) — with u,v interpolated to centers (the reference mixes
+    staggerings without interpolation, SURVEY §2.3.6; we interpolate)."""
+    u2 = op.ix_c(u * u, grid)
+    v2 = op.iy_c(v * v, grid)
+    return _integral(0.5 * h * (u2 + v2), grid)
+
+
+def magnetic_energy(A, h, grid: Grid):
+    """∫ ½ h (Bx²+By²) with B = (−∂yA, ∂xA)/h at centers
+    (SWMHD_example.jl:75)."""
+    Bx, By = magnetic_field_cc(A, h, grid)
+    return _integral(0.5 * h * (Bx * Bx + By * By), grid)
+
+
+def potential_energy(h, h0, g_acc, grid: Grid):
+    """∫ ½ g (h−h₀)² against the initial height h₀ (SWMHD_example.jl:76)."""
+    return _integral(0.5 * g_acc * (h - h0) ** 2, grid)
+
+
+def total_energy(u, v, h, A, h0, g_acc, grid: Grid):
+    return (kinetic_energy(u, v, h, grid)
+            + magnetic_energy(A, h, grid)
+            + potential_energy(h, h0, g_acc, grid))
+
+
+def total_energy_deviation(E, E0):
+    """|E − E₀|·100 — the quantity the reference plots as "relative energy
+    error (%)" (SWMHD_example.jl:147)."""
+    return jnp.abs(E - E0) * 100.0
+
+
+def cross_helicity(u, v, A, h, grid: Grid):
+    """∫ h (u·B) — an MHD invariant worth monitoring at scale."""
+    Bx, By = magnetic_field_cc(A, h, grid)
+    uc = op.ix_c(u, grid)
+    vc = op.iy_c(v, grid)
+    return _integral(h * (uc * Bx + vc * By), grid)
+
+
+def enstrophy(u, v, grid: Grid):
+    z = op.vorticity_ff(u, v, grid)
+    return _integral(0.5 * z * z, grid)
+
+
+def extrema_report(u, v, h, A, grid: Grid):
+    """max|u|, max A, min h — the progress-callback fields
+    (SWMHD_example.jl:54-58)."""
+    speed = jnp.sqrt(op.ix_c(u, grid) ** 2 + op.iy_c(v, grid) ** 2)
+    return {
+        "max_speed": jnp.max(speed),
+        "max_abs_u": jnp.max(jnp.abs(u)),
+        "max_A": jnp.max(A),
+        "min_h": jnp.min(h),
+    }
+
+
+def energy_report(model, state, h0):
+    """All scalar diagnostics in one jit-friendly dict."""
+    g = model.grid
+    u, v = model.velocities(state)
+    ke = kinetic_energy(u, v, state.h, g)
+    me = magnetic_energy(state.A, state.h, g)
+    pe = potential_energy(state.h, h0, model.gravitational_acceleration, g)
+    return {
+        "kinetic_energy": ke,
+        "magnetic_energy": me,
+        "potential_energy": pe,
+        "total_energy": ke + me + pe,
+        "cross_helicity": cross_helicity(u, v, state.A, state.h, g),
+        "enstrophy": enstrophy(u, v, g),
+        **extrema_report(u, v, state.h, state.A, g),
+    }

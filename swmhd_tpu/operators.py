@@ -1,0 +1,198 @@
+"""C-grid operator algebra, array form.
+
+TPU-native re-design of the Oceananigans.Operators subset the reference
+composes its physics from (imports at reference: test_example.jl:4; usage:
+divergence_formulation/sw_mhd_divergence_functions.jl:3-170,
+jacobian_formulation/sw_mhd_jacobian_functions.jl:1-26).
+
+The reference evaluates operators *per point* through nested closures
+(`ℑxᶜᵃᵃ(i,j,k,grid,∂xᶠᶜᶜ,A)`); here every operator is a pure whole-array
+function, composition happens at trace time, and XLA (or the fused Pallas
+kernel in swmhd_tpu.ops) does the scheduling. Periodic topology is a
+`jnp.roll`; bounded topology clamps the shift at the walls (halo-free
+edge replication), with the one-sided near-wall stencil degradation of the
+reference handled explicitly in `swmhd_tpu.advection`.
+
+Index convention (0-based, arrays shaped (Nx, Ny), axis 0 = x):
+
+    face i   = left edge of cell i      (Julia face i+1)
+    center i = midpoint of cell i       (Julia center i+1)
+
+Operator dictionary vs Oceananigans (uniform grid):
+
+    ∂xᶠᶜᶜ(c)[i] = (c[i] - c[i-1])/dx      -> ddx_f(c, grid)
+    ∂xᶜᵃᵃ(f)[i] = (f[i+1] - f[i])/dx      -> ddx_c(f, grid)
+    ℑxᶜᵃᵃ(f)[i] = (f[i+1] + f[i])/2       -> ix_c(f, grid)
+    ℑxᶠᵃᵃ(c)[i] = (c[i] + c[i-1])/2       -> ix_f(c, grid)
+    δxᶠᵃᵃ(c)[i] = c[i] - c[i-1]           -> dx_f(c, grid)
+    δxᶜᵃᵃ(f)[i] = f[i+1] - f[i]           -> dx_c(f, grid)
+    ℑxyᶠᶜᵃ = ix_f∘iy_c, ℑxyᶜᶠᵃ = ix_c∘iy_f (4-point corner means)
+
+(and the same with x<->y, axis 1.)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .grid import Grid, PERIODIC
+
+__all__ = [
+    "shift_x", "shift_y",
+    "dx_f", "dx_c", "dy_f", "dy_c",
+    "ix_f", "ix_c", "iy_f", "iy_c",
+    "ixy_ff", "ixy_cc", "ixy_fc", "ixy_cf",
+    "ddx_f", "ddx_c", "ddy_f", "ddy_c",
+    "laplacian_cc", "vorticity_ff", "divergence_cc",
+    "kinetic_energy_cc",
+]
+
+
+# -- shifts -------------------------------------------------------------------
+
+# Pluggable periodic-roll implementation. The default jnp.roll serves the
+# XLA path; swmhd_tpu.ops.fused_step swaps in pltpu.roll while tracing the
+# Pallas fused kernel (Mosaic has a native lane/sublane rotate).
+_ROLL = [jnp.roll]
+
+
+def set_roll_impl(fn):
+    """Install a roll(a, shift, axis) implementation; returns the old one."""
+    old = _ROLL[0]
+    _ROLL[0] = fn
+    return old
+
+
+def shift_x(a: jnp.ndarray, n: int, grid: Grid) -> jnp.ndarray:
+    """out[i, j] = a[i+n, j], periodic wrap or bounded edge-clamp."""
+    if n == 0:
+        return a
+    if grid.topology_x == PERIODIC:
+        return _ROLL[0](a, -n, 0)
+    return _clamped_shift(a, n, axis=0)
+
+
+def shift_y(a: jnp.ndarray, n: int, grid: Grid) -> jnp.ndarray:
+    """out[i, j] = a[i, j+n]."""
+    if n == 0:
+        return a
+    if grid.topology_y == PERIODIC:
+        return _ROLL[0](a, -n, 1)
+    return _clamped_shift(a, n, axis=1)
+
+
+def _clamped_shift(a: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
+    # Replicate edge values instead of wrapping: out[i] = a[clip(i+n)].
+    rolled = jnp.roll(a, -n, axis=axis)
+    if n > 0:
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(-n, None)
+        edge = [slice(None)] * a.ndim
+        edge[axis] = slice(-1, None)
+        return rolled.at[tuple(idx)].set(a[tuple(edge)])
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(None, -n)
+    edge = [slice(None)] * a.ndim
+    edge[axis] = slice(None, 1)
+    return rolled.at[tuple(idx)].set(a[tuple(edge)])
+
+
+# -- differences (δ) ----------------------------------------------------------
+
+def dx_f(a, grid):  # δxᶠᵃᵃ: center field -> face: a[i] - a[i-1]
+    return a - shift_x(a, -1, grid)
+
+
+def dx_c(a, grid):  # δxᶜᵃᵃ: face field -> center: a[i+1] - a[i]
+    return shift_x(a, 1, grid) - a
+
+
+def dy_f(a, grid):  # δyᵃᶠᵃ
+    return a - shift_y(a, -1, grid)
+
+
+def dy_c(a, grid):  # δyᵃᶜᵃ
+    return shift_y(a, 1, grid) - a
+
+
+# -- derivatives (∂ = δ/Δ) -----------------------------------------------------
+
+def ddx_f(a, grid):  # ∂xᶠᶜᶜ of a center field
+    return dx_f(a, grid) / grid.dx
+
+
+def ddx_c(a, grid):  # ∂xᶜᵃᵃ of a face field
+    return dx_c(a, grid) / grid.dx
+
+
+def ddy_f(a, grid):  # ∂yᶜᶠᶜ of a center field
+    return dy_f(a, grid) / grid.dy
+
+
+def ddy_c(a, grid):  # ∂yᵃᶜᵃ of a face field
+    return dy_c(a, grid) / grid.dy
+
+
+# -- interpolations (ℑ, 2-point means) ----------------------------------------
+
+def ix_f(a, grid):  # ℑxᶠᵃᵃ: center -> face
+    return 0.5 * (a + shift_x(a, -1, grid))
+
+
+def ix_c(a, grid):  # ℑxᶜᵃᵃ: face -> center
+    return 0.5 * (shift_x(a, 1, grid) + a)
+
+
+def iy_f(a, grid):  # ℑyᵃᶠᵃ
+    return 0.5 * (a + shift_y(a, -1, grid))
+
+
+def iy_c(a, grid):  # ℑyᵃᶜᵃ
+    return 0.5 * (shift_y(a, 1, grid) + a)
+
+
+# -- 4-point corner means (ℑxy..) ----------------------------------------------
+
+def ixy_fc(a, grid):
+    """ℑxyᶠᶜᵃ: (c,f)-located field -> (f,c). 4-pt mean of a cfc field."""
+    return ix_f(iy_c(a, grid), grid)
+
+
+def ixy_cf(a, grid):
+    """ℑxyᶜᶠᵃ: (f,c)-located field -> (c,f)."""
+    return ix_c(iy_f(a, grid), grid)
+
+
+def ixy_ff(a, grid):
+    """ccc -> ffc 4-pt mean."""
+    return ix_f(iy_f(a, grid), grid)
+
+
+def ixy_cc(a, grid):
+    """ffc -> ccc 4-pt mean."""
+    return ix_c(iy_c(a, grid), grid)
+
+
+# -- composite diagnostics ------------------------------------------------------
+
+def vorticity_ff(u, v, grid):
+    """ζ = ∂x v − ∂y u at corners (f,f,c).
+
+    Reference diagnostic `ω = ∂x(v) - ∂y(u)` (test_example.jl:123)."""
+    return ddx_f(v, grid) - ddy_f(u, grid)
+
+
+def divergence_cc(u, v, grid):
+    """∇·(u,v) at centers from face-located u (f,c) and v (c,f)."""
+    return ddx_c(u, grid) + ddy_c(v, grid)
+
+
+def laplacian_cc(a, grid):
+    """5-point Laplacian of a center field (used by Laplacian diffusion)."""
+    return ddx_c(ddx_f(a, grid), grid) + ddy_c(ddy_f(a, grid), grid)
+
+
+def kinetic_energy_cc(u, v, grid):
+    """K = (ℑxᶜ(u²) + ℑyᶜ(v²))/2 at centers — the C-grid kinetic energy used
+    by the vector-invariant gradient term."""
+    return 0.5 * (ix_c(u * u, grid) + iy_c(v * v, grid))

@@ -1,0 +1,212 @@
+"""2-D domain decomposition over a device mesh with ICI halo exchange.
+
+This is the subsystem the reference entirely lacks (SURVEY §2.2 O14, §5):
+every reference script is single-process/single-device. The TPU-native
+scaling axis is grid size, decomposed over a ``jax.sharding.Mesh``:
+
+ - each device owns an (Nx/px, Ny/py) tile of every field;
+ - a step is a ``shard_map``-ped function: per RK3 substage, each tile is
+   padded with an H-cell halo ring fetched from its 4 mesh neighbors via
+   ``lax.ppermute`` (which XLA lowers to collective-permute over ICI on a
+   TPU slice, DCN across hosts), the *same* tendency code as the
+   single-device path runs on the padded tile, and the result is cropped;
+ - H is the total composed stencil radius of one tendency evaluation
+   (WENO5 reconstruction + flux divergence + Lorentz chain ⇒ 6 covers every
+   scheme combination shipped here), so one exchange per substage suffices.
+
+Because the padded tile reuses the identical roll-based operator algebra,
+sharded and single-device runs execute the same arithmetic per interior
+point — the sharded==unsharded equality test (tests/test_parallel.py) is the
+race-detector analog for this framework (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..grid import Grid, PERIODIC
+from ..models.state import State, Clock
+from ..models.shallow_water import ShallowWaterModel, RK3_GAMMA, RK3_ZETA
+
+AXIS_X, AXIS_Y = "x", "y"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              shape: Optional[Tuple[int, int]] = None,
+              devices=None) -> Mesh:
+    """A 2-D ('x','y') mesh over the available devices. With no arguments,
+    uses all devices in the squarest factorisation (keeps neighbor shards
+    ICI-adjacent on a TPU slice's 2-D torus)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is not None:
+        need = shape[0] * shape[1]
+        if need > len(devices):
+            raise ValueError(f"mesh shape {shape} needs {need} devices, "
+                             f"have {len(devices)}")
+        devices = devices[:need]
+    n = len(devices)
+    if shape is None:
+        px = int(math.sqrt(n))
+        while n % px:
+            px -= 1
+        shape = (px, n // px)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, (AXIS_X, AXIS_Y))
+
+
+def _halo_pad_axis(a, H: int, axis_name: str, array_axis: int, n_shards: int,
+                   periodic: bool):
+    """Pad local tile with H cells from ring neighbors along one mesh axis.
+
+    Inside shard_map. out[0:H] = left neighbor's last H rows, etc. For a
+    single-shard axis with periodic topology this degenerates to a local
+    wrap (roll semantics preserved)."""
+    if H == 0:
+        return a
+    take_lo = jax.lax.slice_in_dim(a, 0, H, axis=array_axis)
+    take_hi = jax.lax.slice_in_dim(a, a.shape[array_axis] - H,
+                                   a.shape[array_axis], axis=array_axis)
+    if n_shards == 1:
+        lo_halo, hi_halo = take_hi, take_lo  # pure wrap
+    else:
+        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        # halo on my low side comes from my lower neighbor's high slice
+        lo_halo = jax.lax.ppermute(take_hi, axis_name, fwd)
+        hi_halo = jax.lax.ppermute(take_lo, axis_name, bwd)
+    if not periodic:
+        # Bounded: edge shards replicate their own edge cells instead of
+        # wrapping (operator-level clamp; biased schemes degrade near walls)
+        idx = jax.lax.axis_index(axis_name)
+        edge_lo = jnp.repeat(jax.lax.slice_in_dim(a, 0, 1, axis=array_axis),
+                             H, axis=array_axis)
+        edge_hi = jnp.repeat(
+            jax.lax.slice_in_dim(a, a.shape[array_axis] - 1,
+                                 a.shape[array_axis], axis=array_axis),
+            H, axis=array_axis)
+        lo_halo = jnp.where(idx == 0, edge_lo, lo_halo)
+        hi_halo = jnp.where(idx == n_shards - 1, edge_hi, hi_halo)
+    return jnp.concatenate([lo_halo, a, hi_halo], axis=array_axis)
+
+
+@dataclasses.dataclass
+class DomainDecomposition:
+    """Shards a ShallowWaterModel's step over a 2-D device mesh."""
+
+    model: ShallowWaterModel
+    mesh: Mesh
+    halo: int = 6
+
+    def __post_init__(self):
+        g = self.model.grid
+        self.px = self.mesh.shape[AXIS_X]
+        self.py = self.mesh.shape[AXIS_Y]
+        if g.Nx % self.px or g.Ny % self.py:
+            raise ValueError(
+                f"grid {g.Nx}x{g.Ny} not divisible by mesh "
+                f"{self.px}x{self.py}")
+        self.nx = g.Nx // self.px
+        self.ny = g.Ny // self.py
+        if self.halo > min(self.nx, self.ny):
+            raise ValueError("halo wider than local tile")
+        # local padded grid: same spacings, roll-based ops stay valid for
+        # every interior point within `halo` of the pad edge
+        self.local_grid = dataclasses.replace(
+            g, Nx=self.nx + 2 * self.halo, Ny=self.ny + 2 * self.halo,
+            Lx=g.dx * (self.nx + 2 * self.halo),
+            Ly=g.dy * (self.ny + 2 * self.halo),
+            topology_x=PERIODIC, topology_y=PERIODIC)
+        self.local_model = dataclasses.replace(
+            self.model, grid=self.local_grid)
+        self.field_spec = P(AXIS_X, AXIS_Y)
+        self.state_spec = State(h=self.field_spec, u=self.field_spec,
+                                v=self.field_spec, A=self.field_spec,
+                                clock=Clock(time=P(), iteration=P()))
+
+    # -- sharding helpers ------------------------------------------------------
+
+    def shard_state(self, state: State) -> State:
+        shardings = jax.tree.map(
+            lambda spec: NamedSharding(self.mesh, spec), self.state_spec,
+            is_leaf=lambda x: isinstance(x, P))
+        return jax.device_put(state, shardings)
+
+    # -- halo machinery (run inside shard_map) -----------------------------------
+
+    def _pad(self, a):
+        g = self.model.grid
+        a = _halo_pad_axis(a, self.halo, AXIS_X, 0, self.px,
+                           g.topology_x == PERIODIC)
+        a = _halo_pad_axis(a, self.halo, AXIS_Y, 1, self.py,
+                           g.topology_y == PERIODIC)
+        return a
+
+    def _crop(self, a):
+        H = self.halo
+        return a[H:H + self.nx, H:H + self.ny]
+
+    def _local_tendencies(self, h, u, v, A, clock):
+        """Pad all prognostics, evaluate the full tendency on the padded
+        tile with the single-device code path, crop."""
+        st = State(h=self._pad(h), u=self._pad(u), v=self._pad(v),
+                   A=self._pad(A), clock=clock)
+        G = self.local_model.tendencies(st)
+        return (self._crop(G.h), self._crop(G.u),
+                self._crop(G.v), self._crop(G.A))
+
+    def _local_step(self, h, u, v, A, t, it, dt):
+        clock = Clock(time=t, iteration=it)
+        fields = (h, u, v, A)
+        G_prev = None
+        for gamma, zeta in zip(RK3_GAMMA, RK3_ZETA):
+            G = self._local_tendencies(*fields, clock)
+            if G_prev is None:
+                fields = tuple(f + dt * gamma * g_
+                               for f, g_ in zip(fields, G))
+            else:
+                fields = tuple(f + dt * (gamma * g_ + zeta * gp)
+                               for f, g_, gp in zip(fields, G, G_prev))
+            G_prev = G
+        return (*fields, t + dt, it + 1)
+
+    # -- public step -----------------------------------------------------------------
+
+    def step_fn(self, dt, n_steps: int = 1):
+        """Jitted sharded ``state -> state`` advancing n_steps RK3 steps."""
+        fspec = self.field_spec
+
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(fspec, fspec, fspec, fspec, P(), P()),
+                 out_specs=(fspec, fspec, fspec, fspec, P(), P()),
+                 check_vma=False)
+        def sharded_steps(h, u, v, A, t, it):
+            def body(carry, _):
+                return self._local_step(*carry, dt), None
+            out, _ = jax.lax.scan(body, (h, u, v, A, t, it), None,
+                                  length=n_steps)
+            return out
+
+        def fn(state: State) -> State:
+            h, u, v, A, t, it = sharded_steps(
+                state.h, state.u, state.v, state.A,
+                state.clock.time, state.clock.iteration)
+            return State(h=h, u=u, v=v, A=A,
+                         clock=Clock(time=t, iteration=it))
+
+        return jax.jit(fn)

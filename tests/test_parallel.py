@@ -1,0 +1,106 @@
+"""Distributed correctness: sharded == single-device (SURVEY §4e).
+
+Runs on the 8-virtual-CPU-device mesh from conftest — the fake-backend
+substitute for a TPU pod slice. Agreement of the shard_map + ppermute halo
+path with the global roll path is this framework's race-detector analog.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swmhd_tpu import (
+    Grid, ShallowWaterModel, FPlane,
+    VECTOR_INVARIANT, CONSERVATIVE,
+    jacobian_lorentz_forcing, divergence_lorentz_forcing,
+)
+from swmhd_tpu.parallel import DomainDecomposition, make_mesh
+
+L = 10.0
+
+
+def build(formulation, N=64):
+    g = Grid.regular(N, N, (-L / 2, L / 2), (-L / 2, L / 2),
+                     dtype=jnp.float64)
+    forcing = (jacobian_lorentz_forcing()
+               if formulation == VECTOR_INVARIANT
+               else divergence_lorentz_forcing())
+    model = ShallowWaterModel(
+        grid=g, formulation=formulation, coriolis=FPlane(1.0),
+        forcing=forcing)
+    state = model.initial_state(
+        u=lambda x, y: 5 * y * jnp.exp(-(x**2 + y**2)),
+        v=lambda x, y: -5 * x * jnp.exp(-(x**2 + y**2)),
+        h=lambda x, y: 1.0 + 0.05 * jnp.exp(-(x**2 + y**2)),
+        A=lambda x, y: 0.5 * jnp.exp(-((x - 0.5)**2 + y**2))
+        - 0.5 * jnp.exp(-((x + 0.5)**2 + y**2)))
+    return model, state
+
+
+@pytest.mark.parametrize("formulation", [VECTOR_INVARIANT, CONSERVATIVE])
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (8, 1)])
+def test_sharded_matches_single_device(formulation, mesh_shape):
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough virtual devices")
+    model, state = build(formulation)
+    n_steps = 10
+    dt = 0.01
+
+    ref = jax.jit(model.step_fn(dt, n_steps))(state)
+
+    mesh = make_mesh(shape=mesh_shape)
+    dd = DomainDecomposition(model, mesh)
+    sharded0 = dd.shard_state(state)
+    out = dd.step_fn(dt, n_steps)(sharded0)
+
+    for name in ("h", "u", "v", "A"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(jax.device_get(getattr(out, name)))
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"{name} mismatch {mesh_shape}")
+    assert float(out.clock.time) == pytest.approx(float(ref.clock.time))
+    assert int(out.clock.iteration) == int(ref.clock.iteration)
+
+
+def test_halo_pad_roundtrip():
+    """Padding then cropping is the identity; the pad ring equals the
+    periodic wrap of the global field."""
+    model, state = build(VECTOR_INVARIANT, N=32)
+    mesh = make_mesh(shape=(2, 2))
+    dd = DomainDecomposition(model, mesh, halo=3)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    f = shard_map(lambda a: dd._crop(dd._pad(a)), mesh=mesh,
+                  in_specs=P("x", "y"), out_specs=P("x", "y"))
+    arr = dd.shard_state(state).h
+    out = f(arr)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(state.h))
+
+
+def test_halo_pad_matches_global_roll():
+    """Each padded tile's halo must equal the corresponding slice of the
+    globally rolled array."""
+    N = 16
+    g = Grid.regular(N, N, (0, 1), (0, 1), dtype=jnp.float64)
+    model = ShallowWaterModel(grid=g)
+    rng = np.random.default_rng(3)
+    glob = jnp.asarray(rng.standard_normal((N, N)))
+    mesh = make_mesh(shape=(2, 2))
+    dd = DomainDecomposition(model, mesh, halo=2)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P, NamedSharding
+
+    padded = shard_map(dd._pad, mesh=mesh, in_specs=P("x", "y"),
+                       out_specs=P("x", "y"))(
+        jax.device_put(glob, NamedSharding(mesh, P("x", "y"))))
+    # device (0,0) tile with halo==2 should equal glob[-2:6, -2:6] wrapped
+    H, nx, ny = 2, N // 2, N // 2
+    tile00 = np.asarray(padded)[0:nx + 2 * H, 0:ny + 2 * H]
+    want = np.asarray(jnp.roll(glob, (H, H), axis=(0, 1)))[
+        0:nx + 2 * H, 0:ny + 2 * H]
+    np.testing.assert_array_equal(tile00, want)

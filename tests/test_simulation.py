@@ -1,0 +1,133 @@
+"""Simulation driver, schedules, writers, readers, checkpointing."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swmhd_tpu import (
+    Grid, ShallowWaterModel, FPlane, Centered2,
+    Simulation, IterationInterval, TimeInterval, Callback,
+    VECTOR_INVARIANT, diagnostics,
+)
+from swmhd_tpu.io import FieldWriter, ScalarWriter, FieldTimeSeries, ScalarTimeSeries
+from swmhd_tpu import checkpoint
+
+L = 10.0
+
+
+def small_model():
+    g = Grid.regular(32, 32, (-L / 2, L / 2), (-L / 2, L / 2),
+                     dtype=jnp.float64)
+    return ShallowWaterModel(
+        grid=g, formulation=VECTOR_INVARIANT,
+        momentum_advection=Centered2, mass_advection=Centered2,
+        tracer_advection=Centered2, coriolis=FPlane(1.0))
+
+
+def small_state(model):
+    return model.initial_state(
+        u=lambda x, y: 0.1 * jnp.sin(2 * jnp.pi * y / L),
+        h=1.0, A=lambda x, y: 0.1 * jnp.exp(-(x**2 + y**2)))
+
+
+class TestSchedules:
+    def test_iteration_interval(self):
+        s = IterationInterval(5)
+        assert s.is_due(5, 0.0, 0.1) and s.is_due(10, 0.0, 0.1)
+        assert not s.is_due(7, 0.0, 0.1)
+        assert s.steps_until_due(7, 0.0, 0.1) == 3
+
+    def test_time_interval(self):
+        s = TimeInterval(0.5)
+        dt = 0.1
+        assert s.is_due(0, 0.0, dt)       # fires at t=0
+        assert not s.is_due(1, 0.1, dt)
+        assert s.steps_until_due(1, 0.1, dt) == 4
+        assert s.is_due(5, 0.5, dt)
+        assert s.is_due(10, 1.0, dt)
+
+
+class TestRunLoop:
+    def test_stop_time_and_callback_cadence(self):
+        model = small_model()
+        sim = Simulation(model, dt=0.01, stop_time=0.2)
+        fired = []
+        sim.callbacks["progress"] = Callback(
+            fn=lambda s: fired.append(int(s.state.clock.iteration)),
+            schedule=IterationInterval(5))
+        out = sim.run(small_state(model))
+        assert int(out.clock.iteration) == 20
+        assert float(out.clock.time) == pytest.approx(0.2, abs=1e-9)
+        assert fired == [0, 5, 10, 15, 20]
+
+    def test_stop_iteration(self):
+        model = small_model()
+        sim = Simulation(model, dt=0.01, stop_iteration=7)
+        out = sim.run(small_state(model))
+        assert int(out.clock.iteration) == 7
+
+
+class TestWriters:
+    def test_field_writer_roundtrip(self, tmp_path):
+        model = small_model()
+        sim = Simulation(model, dt=0.01, stop_time=0.1)
+        path = str(tmp_path / "fields")
+        sim.output_writers["fields"] = FieldWriter(
+            outputs={
+                "A": lambda s: s.state.A,
+                "speed": lambda s: jnp.sqrt(
+                    s.state.u**2 + s.state.v**2),
+            },
+            schedule=TimeInterval(0.05), path=path)
+        sim.run(small_state(model))
+        ts = FieldTimeSeries(path, "A")
+        assert len(ts) == 3  # t = 0, 0.05, 0.1
+        assert ts[0].shape == (32, 32)
+        np.testing.assert_allclose(ts.times, [0.0, 0.05, 0.1], atol=1e-9)
+        stacked = ts.stack()
+        assert stacked.shape == (3, 32, 32)
+
+    def test_scalar_writer_roundtrip(self, tmp_path):
+        model = small_model()
+        sim = Simulation(model, dt=0.01, stop_time=0.05)
+        h0 = jnp.ones((32, 32), jnp.float64)
+        path = str(tmp_path / "energies.csv")
+        sim.output_writers["energies"] = ScalarWriter(
+            outputs={"total_energy": lambda s: diagnostics.energy_report(
+                s.model, s.state, h0)["total_energy"]},
+            schedule=IterationInterval(1), path=path)
+        sim.run(small_state(model))
+        ts = ScalarTimeSeries(path)
+        assert len(ts.time) == 6  # 0..5 iterations inclusive
+        assert np.all(np.isfinite(ts.total_energy))
+        # energy roughly conserved on this smooth problem
+        assert abs(ts.total_energy[-1] - ts.total_energy[0]) \
+            < 0.01 * abs(ts.total_energy[0]) + 1e-12
+
+
+class TestCheckpoint:
+    def test_save_restore_resume(self, tmp_path):
+        model = small_model()
+        state = small_state(model)
+        import jax
+        mid = jax.jit(model.step_fn(0.01, 5))(state)
+        p = str(tmp_path / "ckpt.npz")
+        checkpoint.save(p, mid, model.grid)
+        back = checkpoint.restore(p, model.grid)
+        np.testing.assert_array_equal(np.asarray(back.h), np.asarray(mid.h))
+        assert int(back.clock.iteration) == 5
+        # resume and compare against uninterrupted run
+        full = jax.jit(model.step_fn(0.01, 10))(state)
+        resumed = jax.jit(model.step_fn(0.01, 5))(back)
+        np.testing.assert_allclose(np.asarray(resumed.h),
+                                   np.asarray(full.h), rtol=1e-12)
+
+    def test_grid_mismatch_raises(self, tmp_path):
+        model = small_model()
+        p = str(tmp_path / "c.npz")
+        checkpoint.save(p, small_state(model), model.grid)
+        other = Grid.regular(16, 16, (0, 1), (0, 1))
+        with pytest.raises(ValueError):
+            checkpoint.restore(p, other)
