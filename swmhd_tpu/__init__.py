@@ -21,6 +21,7 @@ from .physics import (
 from .forcing import jacobian_lorentz_forcing, divergence_lorentz_forcing
 from .simulation import Simulation, IterationInterval, TimeInterval, Callback
 from . import diagnostics
+from . import profiling
 
 __version__ = "0.1.0"
 
@@ -33,5 +34,5 @@ __all__ = [
     "magnetic_field_cc", "magnetic_field_faces",
     "jacobian_lorentz_forcing", "divergence_lorentz_forcing",
     "Simulation", "IterationInterval", "TimeInterval", "Callback",
-    "diagnostics",
+    "diagnostics", "profiling",
 ]

@@ -107,11 +107,21 @@ def _halo_pad_axis(a, H: int, axis_name: str, array_axis: int, n_shards: int,
 
 @dataclasses.dataclass
 class DomainDecomposition:
-    """Shards a ShallowWaterModel's step over a 2-D device mesh."""
+    """Shards a ShallowWaterModel's step over a 2-D device mesh.
+
+    With ``overlap=True`` the tendency is split so the halo exchange rides
+    the ICI concurrently with interior compute (SURVEY §5): the interior of
+    each tile (every point ≥ halo from the edge) is computed from the
+    *unpadded* tile — it depends on no exchanged data, so XLA's async
+    collective scheduler can run the ``ppermute``s underneath it — and only
+    four thin edge bands are recomputed from the padded tile afterwards.
+    Both paths execute identical arithmetic per interior point, so
+    sharded == unsharded remains exact (tests/test_parallel.py)."""
 
     model: ShallowWaterModel
     mesh: Mesh
     halo: int = 6
+    overlap: bool = False
 
     def __post_init__(self):
         g = self.model.grid
@@ -164,11 +174,58 @@ class DomainDecomposition:
     def _local_tendencies(self, h, u, v, A, clock):
         """Pad all prognostics, evaluate the full tendency on the padded
         tile with the single-device code path, crop."""
+        if self.overlap and 3 * self.halo <= min(self.nx, self.ny):
+            return self._local_tendencies_overlap(h, u, v, A, clock)
         st = State(h=self._pad(h), u=self._pad(u), v=self._pad(v),
                    A=self._pad(A), clock=clock)
         G = self.local_model.tendencies(st)
         return (self._crop(G.h), self._crop(G.u),
                 self._crop(G.v), self._crop(G.A))
+
+    def _local_tendencies_overlap(self, h, u, v, A, clock):
+        """Interior tendency from the unpadded tile (no halo dependence,
+        overlaps the ppermutes), then recompute the four edge bands of
+        width ``halo`` from the exchanged pad."""
+        H = self.halo
+        nx, ny = self.nx, self.ny
+        lm = self.local_model
+
+        # 1. halo exchange — independent of the interior compute below.
+        padded = [self._pad(f) for f in (h, u, v, A)]
+
+        # 2. interior from local periodic rolls: valid at distance >= H
+        #    from the tile edge (the wrap ring is overwritten in step 3).
+        G_int = lm.tendencies(State(h=h, u=u, v=v, A=A, clock=clock))
+        G = [G_int.h, G_int.u, G_int.v, G_int.A]
+
+        # 3. edge bands from the padded tile. A band of 3H input rows
+        #    yields H valid output rows (radius H stencils).
+        def band_x(lo_row):  # input rows lo_row .. lo_row+3H of padded
+            fs = [p[lo_row:lo_row + 3 * H, :] for p in padded]
+            Gb = lm.tendencies(State(h=fs[0], u=fs[1], v=fs[2], A=fs[3],
+                                     clock=clock))
+            # valid output = band rows H..2H-1, crop y-halo
+            return [b[H:2 * H, H:H + ny]
+                    for b in (Gb.h, Gb.u, Gb.v, Gb.A)]
+
+        def band_y(lo_col):
+            fs = [p[:, lo_col:lo_col + 3 * H] for p in padded]
+            Gb = lm.tendencies(State(h=fs[0], u=fs[1], v=fs[2], A=fs[3],
+                                     clock=clock))
+            return [b[H:H + nx, H:2 * H]
+                    for b in (Gb.h, Gb.u, Gb.v, Gb.A)]
+
+        bottom = band_x(0)                 # output rows 0..H-1
+        top = band_x(nx - H)               # output rows nx-H..nx-1
+        left = band_y(0)                   # output cols 0..H-1
+        right = band_y(ny - H)             # output cols ny-H..ny-1
+
+        for k in range(4):
+            G[k] = jax.lax.dynamic_update_slice(G[k], bottom[k], (0, 0))
+            G[k] = jax.lax.dynamic_update_slice(G[k], top[k], (nx - H, 0))
+            G[k] = jax.lax.dynamic_update_slice(G[k], left[k], (0, 0))
+            G[k] = jax.lax.dynamic_update_slice(G[k], right[k], (0, ny - H))
+        return tuple(G)
 
     def _local_step(self, h, u, v, A, t, it, dt):
         clock = Clock(time=t, iteration=it)

@@ -1,0 +1,127 @@
+"""Profiling & throughput measurement (SURVEY §5 tracing/profiling).
+
+The reference's only instrumentation is wall-clock deltas inside its
+progress callback (jacobian_formulation/SWMHD_example.jl:45-63,96-100).
+Here:
+
+  - :func:`benchmark_step` — tunnel-safe steps/s / grid-points/s / achieved
+    HBM-bandwidth measurement of any jitted ``state -> state`` (or
+    ``state -> (state, aux)``) stepper. Synchronisation is via a device→host
+    scalar pull because ``jax.block_until_ready`` can return early over
+    remote-dispatch links (e.g. the axon TPU relay).
+  - :func:`trace` — context manager around ``jax.profiler`` producing a
+    Perfetto/XPlane dump for op-level analysis.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(state) -> float:
+    """Force full device completion; returns a cheap checksum."""
+    leaves = [l for l in jax.tree.leaves(state)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                        jnp.floating)]
+    return float(sum(jnp.sum(l) for l in leaves[:1]))
+
+
+@dataclasses.dataclass
+class StepBenchmark:
+    steps_per_s: float
+    points_per_s: float
+    wall_s: float
+    n_steps: int
+    grid_points: int
+    hbm_gbps_estimate: Optional[float] = None
+    hbm_fraction_of_light: Optional[float] = None
+
+    def __str__(self):
+        s = (f"{self.points_per_s:.3e} pts/s "
+             f"({self.steps_per_s:.1f} steps/s, {self.n_steps} steps in "
+             f"{self.wall_s:.3f}s)")
+        if self.hbm_fraction_of_light is not None:
+            s += (f"; est. HBM {self.hbm_gbps_estimate:.0f} GB/s = "
+                  f"{100 * self.hbm_fraction_of_light:.1f}% of roofline")
+        return s
+
+
+# Minimum HBM traffic of one RK3 step under perfect per-substage fusion:
+# 3 substages x (read 4 prognostics + write 4) field-sized transfers.
+_MIN_FIELD_TRANSFERS_PER_STEP = 24
+
+# Peak HBM bandwidth per chip (GB/s) for roofline fractions.
+HBM_PEAK_GBPS = {
+    "v5e": 819.0, "v5litepod": 819.0, "v5": 2765.0, "v5p": 2765.0,
+    "v4": 1228.0, "v6e": 1640.0,
+}
+
+
+def detect_hbm_peak() -> Optional[float]:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover
+        return None
+    for key, bw in HBM_PEAK_GBPS.items():
+        if key in kind.replace(" ", ""):
+            return bw
+    return None
+
+
+def benchmark_step(step_fn: Callable, state, n_steps_per_call: int,
+                   n_calls: int = 5, grid_points: Optional[int] = None,
+                   bytes_per_point: Optional[int] = None) -> StepBenchmark:
+    """Measure a compiled stepper's throughput.
+
+    ``step_fn`` advances ``n_steps_per_call`` RK3 steps per invocation and
+    returns the new state (extra aux outputs are allowed). One warmup call
+    triggers compilation and is excluded."""
+    def advance(s):
+        out = step_fn(s)
+        return out[0] if isinstance(out, tuple) else out
+
+    if grid_points is None:
+        grid_points = int(state.h.size)
+    state = advance(state)
+    _sync(state)
+
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state = advance(state)
+    _sync(state)
+    wall = time.perf_counter() - t0
+
+    n_steps = n_calls * n_steps_per_call
+    steps_per_s = n_steps / wall
+    points_per_s = grid_points * steps_per_s
+
+    gbps = frac = None
+    peak = detect_hbm_peak()
+    if peak is not None:
+        bpp = bytes_per_point or jnp.dtype(state.h.dtype).itemsize
+        traffic = (_MIN_FIELD_TRANSFERS_PER_STEP * grid_points * bpp
+                   * steps_per_s)
+        gbps = traffic / 1e9
+        frac = gbps / peak
+    return StepBenchmark(steps_per_s=steps_per_s, points_per_s=points_per_s,
+                         wall_s=wall, n_steps=n_steps,
+                         grid_points=grid_points,
+                         hbm_gbps_estimate=gbps,
+                         hbm_fraction_of_light=frac)
+
+
+@contextlib.contextmanager
+def trace(logdir: str, host_tracer_level: int = 2):
+    """``with trace("/tmp/prof"):`` — jax.profiler trace for Perfetto/
+    TensorBoard; the TPU-native analog of the reference's time_ns deltas."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

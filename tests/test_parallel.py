@@ -64,6 +64,29 @@ def test_sharded_matches_single_device(formulation, mesh_shape):
     assert int(out.clock.iteration) == int(ref.clock.iteration)
 
 
+@pytest.mark.parametrize("formulation", [VECTOR_INVARIANT, CONSERVATIVE])
+def test_overlap_matches_single_device(formulation):
+    """The comm/compute-overlap split (interior from unpadded tile + edge
+    bands from the exchanged pad) must agree exactly with the global path."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    model, state = build(formulation, N=64)
+    n_steps = 5
+    dt = 0.01
+
+    ref = jax.jit(model.step_fn(dt, n_steps))(state)
+
+    mesh = make_mesh(shape=(2, 2))
+    dd = DomainDecomposition(model, mesh, overlap=True)
+    out = dd.step_fn(dt, n_steps)(dd.shard_state(state))
+
+    for name in ("h", "u", "v", "A"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(jax.device_get(getattr(out, name)))
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"{name} mismatch (overlap)")
+
+
 def test_halo_pad_roundtrip():
     """Padding then cropping is the identity; the pad ring equals the
     periodic wrap of the global field."""
