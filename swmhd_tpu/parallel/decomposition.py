@@ -244,8 +244,17 @@ class DomainDecomposition:
 
     # -- public step -----------------------------------------------------------------
 
-    def step_fn(self, dt, n_steps: int = 1):
-        """Jitted sharded ``state -> state`` advancing n_steps RK3 steps."""
+    def step_fn(self, dt, n_steps: int = 1, diagnostics=None):
+        """Jitted sharded stepper advancing n_steps RK3 steps.
+
+        Without ``diagnostics``: ``state -> state``, with the whole scan
+        inside one shard_map (single collective program). With
+        ``diagnostics`` (``state -> {name: scalar}``): ``state -> (state,
+        series)`` — each scan iteration runs one shard_map-ped step, then
+        evaluates the diagnostics on the *sharded global* state, where XLA
+        inserts the reduction collectives; results are exact global values
+        per step (same contract as the single-device path,
+        ShallowWaterModel.step_fn)."""
         fspec = self.field_spec
 
         @partial(shard_map, mesh=self.mesh,
@@ -259,11 +268,30 @@ class DomainDecomposition:
                                   length=n_steps)
             return out
 
-        def fn(state: State) -> State:
-            h, u, v, A, t, it = sharded_steps(
-                state.h, state.u, state.v, state.A,
-                state.clock.time, state.clock.iteration)
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(fspec, fspec, fspec, fspec, P(), P()),
+                 out_specs=(fspec, fspec, fspec, fspec, P(), P()),
+                 check_vma=False)
+        def sharded_one(h, u, v, A, t, it):
+            return self._local_step(h, u, v, A, t, it, dt)
+
+        def pack(parts):
+            h, u, v, A, t, it = parts
             return State(h=h, u=u, v=v, A=A,
                          clock=Clock(time=t, iteration=it))
 
+        if diagnostics is None:
+            def fn(state: State) -> State:
+                return pack(sharded_steps(
+                    state.h, state.u, state.v, state.A,
+                    state.clock.time, state.clock.iteration))
+            return jax.jit(fn)
+
+        def fn(state: State):
+            def body(s, _):
+                s2 = pack(sharded_one(s.h, s.u, s.v, s.A,
+                                      s.clock.time, s.clock.iteration))
+                return s2, diagnostics(s2)
+            out, series = jax.lax.scan(body, state, None, length=n_steps)
+            return out, series
         return jax.jit(fn)

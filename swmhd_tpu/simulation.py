@@ -78,11 +78,17 @@ class Callback:
 
 
 class Simulation:
+    """``stepper`` defaults to the model itself (single-device path); pass
+    a :class:`~swmhd_tpu.parallel.DomainDecomposition` to drive a sharded
+    multi-chip/multi-host run through the same schedules, writers, and
+    in-graph scalar series."""
+
     def __init__(self, model, dt: float, stop_time: Optional[float] = None,
-                 stop_iteration: Optional[int] = None):
+                 stop_iteration: Optional[int] = None, stepper=None):
         if stop_time is None and stop_iteration is None:
             raise ValueError("need stop_time or stop_iteration")
         self.model = model
+        self.stepper = stepper if stepper is not None else model
         self.dt = float(dt)
         self.stop_time = stop_time
         self.stop_iteration = stop_iteration
@@ -115,8 +121,8 @@ class Simulation:
     def _stepper(self, n_steps: int):
         fn = self._compiled.get(n_steps)
         if fn is None:
-            fn = jax.jit(self.model.step_fn(self.dt, n_steps,
-                                            diagnostics=self._diag_fn()))
+            fn = jax.jit(self.stepper.step_fn(self.dt, n_steps,
+                                              diagnostics=self._diag_fn()))
             self._compiled[n_steps] = fn
         return fn
 

@@ -87,6 +87,44 @@ def test_overlap_matches_single_device(formulation):
                                    err_msg=f"{name} mismatch (overlap)")
 
 
+def test_sharded_simulation_with_series(tmp_path):
+    """Simulation driving a DomainDecomposition stepper: per-step in-graph
+    energy series must match the single-device Simulation exactly."""
+    import csv
+    import os
+    from swmhd_tpu import Simulation, IterationInterval, diagnostics
+    from swmhd_tpu.io import ScalarSeriesWriter
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    model, state = build(VECTOR_INVARIANT, N=32)
+    h0 = state.h
+
+    def diag(m, s):
+        rep = diagnostics.energy_report(m, s, h0)
+        return {"total_energy": rep["total_energy"]}
+
+    def run(stepper, state, path):
+        sim = Simulation(model, dt=0.01, stop_iteration=6, stepper=stepper)
+        sim.output_writers["e"] = ScalarSeriesWriter(
+            fn=diag, schedule=IterationInterval(1), path=path)
+        sim.run(state)
+        with open(path) as f:
+            return [(int(r["iteration"]), float(r["total_energy"]))
+                    for r in csv.DictReader(f)]
+
+    ref_rows = run(None, state, os.path.join(tmp_path, "single.csv"))
+
+    mesh = make_mesh(shape=(2, 2))
+    dd = DomainDecomposition(model, mesh, halo=6)
+    dd_rows = run(dd, dd.shard_state(state),
+                  os.path.join(tmp_path, "sharded.csv"))
+
+    assert [i for i, _ in dd_rows] == [i for i, _ in ref_rows]
+    for (_, a), (_, b) in zip(dd_rows, ref_rows):
+        assert a == pytest.approx(b, rel=1e-12)
+
+
 def test_halo_pad_roundtrip():
     """Padding then cropping is the identity; the pad ring equals the
     periodic wrap of the global field."""
