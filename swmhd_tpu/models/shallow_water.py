@@ -153,7 +153,8 @@ class ShallowWaterModel:
             V = vh if vh is not None else v
         else:
             U, V = u, v
-        return State(h=ev(h, "cc", 1.0), u=ev(U, "fc"), v=ev(V, "cf"),
+        u_arr, v_arr = self._mask_walls(ev(U, "fc"), ev(V, "cf"))
+        return State(h=ev(h, "cc", 1.0), u=u_arr, v=v_arr,
                      A=ev(A, "cc"), clock=Clock.zero(g.dtype))
 
     # -- diagnostics -----------------------------------------------------------
@@ -182,7 +183,22 @@ class ShallowWaterModel:
         else:
             Gu, Gv, Gh, GA = self._tendencies_conservative(state)
         Gu, Gv, Gh, GA = self._apply_forcing(state, Gu, Gv, Gh, GA)
+        Gu, Gv = self._mask_walls(Gu, Gv)
         return State(h=Gh, u=Gu, v=Gv, A=GA, clock=state.clock)
+
+    def _mask_walls(self, u_like, v_like):
+        """No-penetration at BOUNDED walls: the wall-normal velocity (or
+        transport, or its tendency) is pinned to zero on the wall face —
+        face 0 of the bounded axis. The opposite wall face is not stored
+        (face-count = center-count arrays); its zero flux is enforced by
+        the wall-aware flux divergences (operators.d*_c_flux)."""
+        g = self.grid
+        from ..grid import BOUNDED
+        if g.topology_x == BOUNDED:
+            u_like = u_like.at[0, :].set(0.0)
+        if g.topology_y == BOUNDED:
+            v_like = v_like.at[:, 0].set(0.0)
+        return u_like, v_like
 
     def _apply_forcing(self, state, Gu, Gv, Gh, GA):
         if not self.forcing:
@@ -225,7 +241,7 @@ class ShallowWaterModel:
         ms = self.mass_advection
         Uf = upwind_biased_product(u, ms.left_x_f(h, g), ms.right_x_f(h, g))
         Vf = upwind_biased_product(v, ms.left_y_f(h, g), ms.right_y_f(h, g))
-        divU = op.ddx_c(Uf, g) + op.ddy_c(Vf, g)
+        divU = op.ddx_c_flux(Uf, g) + op.ddy_c_flux(Vf, g)
         Gh = -divU
 
         # vorticity flux (the WENO vector-invariant scheme) + KE gradient
@@ -336,7 +352,7 @@ class ShallowWaterModel:
         ty_ff = op.ix_f(vh, g)                       # transport at (f,f)
         flux_yx = upwind_biased_product(
             ty_ff, scheme.left_y_f(u, g), scheme.right_y_f(u, g))
-        Gu = -(op.ddx_f(flux_xx, g) + op.ddy_c(flux_yx, g))
+        Gu = -(op.ddx_f(flux_xx, g) + op.ddy_c_flux(flux_yx, g))
 
         tx_ff = op.iy_f(uh, g)
         flux_xy = upwind_biased_product(
@@ -344,7 +360,7 @@ class ShallowWaterModel:
         ty_cc = op.iy_c(vh, g)
         flux_yy = upwind_biased_product(
             ty_cc, scheme.left_y_c(v, g), scheme.right_y_c(v, g))
-        Gv = -(op.ddx_c(flux_xy, g) + op.ddy_f(flux_yy, g))
+        Gv = -(op.ddx_c_flux(flux_xy, g) + op.ddy_f(flux_yy, g))
 
         # gravity: −g h̄ ∂(h)
         Gu = Gu - gacc * h_fx * op.ddx_f(h, g)
@@ -355,7 +371,7 @@ class ShallowWaterModel:
         Gv = Gv + self.coriolis.tendency_v(uh, g)
 
         # mass: ∂t h = −∇·(uh, vh) — transports are prognostic, no recon
-        divU = op.ddx_c(uh, g) + op.ddy_c(vh, g)
+        divU = op.ddx_c_flux(uh, g) + op.ddy_c_flux(vh, g)
         Gh = -divU
 
         GA = self._tracer_tendency(A, h, uh, vh, divU)
@@ -376,7 +392,7 @@ class ShallowWaterModel:
         ts = self.tracer_advection
         fx = upwind_biased_product(Uf, ts.left_x_f(A, g), ts.right_x_f(A, g))
         fy = upwind_biased_product(Vf, ts.left_y_f(A, g), ts.right_y_f(A, g))
-        div_flux = op.ddx_c(fx, g) + op.ddy_c(fy, g)
+        div_flux = op.ddx_c_flux(fx, g) + op.ddy_c_flux(fy, g)
         return (A * divU - div_flux) / h
 
     # -- time stepping ---------------------------------------------------------------

@@ -35,11 +35,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .grid import Grid, PERIODIC
+from .grid import Grid, PERIODIC, BOUNDED
 
 __all__ = [
     "shift_x", "shift_y",
     "dx_f", "dx_c", "dy_f", "dy_c",
+    "dx_c_flux", "dy_c_flux", "ddx_c_flux", "ddy_c_flux",
     "ix_f", "ix_c", "iy_f", "iy_c",
     "ixy_ff", "ixy_cc", "ixy_fc", "ixy_cf",
     "ddx_f", "ddx_c", "ddy_f", "ddy_c",
@@ -113,6 +114,37 @@ def dy_f(a, grid):  # δyᵃᶠᵃ
 
 def dy_c(a, grid):  # δyᵃᶜᵃ
     return shift_y(a, 1, grid) - a
+
+
+# -- flux differences (wall-aware) ---------------------------------------------
+#
+# For BOUNDED axes the face beyond the last interior face is the domain wall
+# and carries zero normal flux; the plain clamped shift would instead
+# replicate the interior value (zero difference) and silently leak. Apply
+# these to face-located *fluxes*; pair with wall-masked normal velocities
+# (ShallowWaterModel._mask_walls) so the first face is zero too, making
+# column sums telescope to zero — exact conservation in a closed basin.
+
+def dx_c_flux(f, grid):
+    up = shift_x(f, 1, grid)
+    if grid.topology_x == BOUNDED:
+        up = up.at[-1, :].set(0.0)
+    return up - f
+
+
+def dy_c_flux(f, grid):
+    up = shift_y(f, 1, grid)
+    if grid.topology_y == BOUNDED:
+        up = up.at[:, -1].set(0.0)
+    return up - f
+
+
+def ddx_c_flux(f, grid):
+    return dx_c_flux(f, grid) / grid.dx
+
+
+def ddy_c_flux(f, grid):
+    return dy_c_flux(f, grid) / grid.dy
 
 
 # -- derivatives (∂ = δ/Δ) -----------------------------------------------------

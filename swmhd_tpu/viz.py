@@ -95,6 +95,45 @@ def render_movie(fields_dir: str, out_path: str, names=("A", "s"),
     return frames_dir
 
 
+def render_field_verification(grid, A, h, out_prefix: str,
+                              subsample: int = 4):
+    """A-contour + quiver figures of the magnetic field and the
+    jacobian-form Lorentz force — the analog of the reference's
+    `A_and_magnetic_field.png` / `A_and_lorentz_force.png`
+    (MHD_visualize.jl:79-98). Returns the two written paths."""
+    import jax.numpy as jnp
+    from .physics.lorentz import magnetic_field_cc, lorentz_force_jacobian
+    from . import operators as op_mod
+    plt = _mpl()
+
+    Xc, Yc = (np.asarray(a) for a in grid.nodes("cc"))
+    Bx, By = (np.asarray(a) for a in magnetic_field_cc(A, h, grid))
+    fu, fv = lorentz_force_jacobian(A, h, grid)
+    # interpolate face-located forces to centers for plotting
+    fu_c = np.asarray(op_mod.ix_c(fu, grid))
+    fv_c = np.asarray(op_mod.iy_c(fv, grid))
+    A_np = np.asarray(A)
+    s = slice(None, None, subsample)
+
+    made = []
+    for tag, (U, V), title in (
+            ("magnetic_field", (Bx, By), "A and magnetic field"),
+            ("lorentz_force", (fu_c, fv_c), "A and Lorentz force")):
+        fig, ax = plt.subplots(figsize=(7, 6))
+        cs = ax.contourf(Xc, Yc, A_np, levels=20, cmap="viridis")
+        ax.quiver(Xc[s, s], Yc[s, s], U[s, s], V[s, s], color="white")
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        ax.set_title(title)
+        fig.colorbar(cs, ax=ax, label="A")
+        path = f"{out_prefix}_{tag}.png"
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        made.append(path)
+    return made
+
+
 def render_scenario_outputs(outdir: str, title: str = ""):
     """Render the full reference-artifact set for a CLI run directory."""
     made = []
