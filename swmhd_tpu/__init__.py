@@ -19,7 +19,8 @@ from .physics import (
     magnetic_field_cc, magnetic_field_faces,
 )
 from .forcing import jacobian_lorentz_forcing, divergence_lorentz_forcing
-from .simulation import Simulation, IterationInterval, TimeInterval, Callback
+from .simulation import (Simulation, IterationInterval, TimeInterval,
+                         Callback, TimeStepWizard)
 from . import diagnostics
 from . import profiling
 
@@ -34,5 +35,5 @@ __all__ = [
     "magnetic_field_cc", "magnetic_field_faces",
     "jacobian_lorentz_forcing", "divergence_lorentz_forcing",
     "Simulation", "IterationInterval", "TimeInterval", "Callback",
-    "diagnostics", "profiling",
+    "TimeStepWizard", "diagnostics", "profiling",
 ]

@@ -82,6 +82,43 @@ def extrema_report(u, v, h, A, grid: Grid):
     }
 
 
+def derived_fields(model, state, h0=None):
+    """The reference's derived-field set as plain arrays (no lazy graph —
+    XLA fuses): speed ``s = sqrt(u²+v²)`` at centers, magnetic field
+    ``B = (−∂yA, ∂xA)/h``, relative vorticity ``ω``, and physical
+    velocities (SWMHD_example.jl:67-72, divergence_sw_mhd.jl:63-75,
+    test_example.jl:123-125)."""
+    g = model.grid
+    u, v = model.velocities(state)
+    Bx, By = magnetic_field_cc(state.A, state.h, g)
+    out = {
+        "u": u,
+        "v": v,
+        "s": jnp.sqrt(op.ix_c(u, g) ** 2 + op.iy_c(v, g) ** 2),
+        "Bx": Bx,
+        "By": By,
+        "omega": op.vorticity_ff(u, v, g),
+        "h": state.h,
+        "A": state.A,
+    }
+    if h0 is not None:
+        out["eta"] = state.h - h0
+    return out
+
+
+def cfl_numbers(model, state, dt):
+    """(advective CFL, gravity-wave CFL) for a step size ``dt`` — the
+    stability diagnostics behind adaptive stepping. Advective:
+    max(|u|/Δx + |v|/Δy)·Δt; surface gravity wave: max(√(g h))·(1/Δx +
+    1/Δy)·Δt."""
+    g = model.grid
+    u, v = model.velocities(state)
+    adv = jnp.max(jnp.abs(u)) / g.dx + jnp.max(jnp.abs(v)) / g.dy
+    wave = jnp.sqrt(model.gravitational_acceleration
+                    * jnp.max(state.h)) * (1.0 / g.dx + 1.0 / g.dy)
+    return adv * dt, wave * dt
+
+
 def energy_report(model, state, h0):
     """All scalar diagnostics in one jit-friendly dict."""
     g = model.grid

@@ -206,6 +206,44 @@ class Simulation:
         return n
 
 
+class TimeStepWizard:
+    """Adaptive Δt controller — the analog of Oceananigans'
+    ``TimeStepWizard``: attach as a Callback; it rescales ``sim.dt`` toward
+    a target CFL, bounded by ``max_change``/``min_change`` per adjustment
+    and ``(min_dt, max_dt)``. Each change invalidates the simulation's
+    compiled-stepper cache (a jitted step closes over dt), so schedule it
+    sparingly (e.g. every 50-100 iterations)."""
+
+    def __init__(self, cfl: float = 0.7, max_change: float = 1.1,
+                 min_change: float = 0.5, min_dt: float = 0.0,
+                 max_dt: Optional[float] = None):
+        self.cfl = cfl
+        self.max_change = max_change
+        self.min_change = min_change
+        self.min_dt = min_dt
+        self.max_dt = max_dt
+
+    def __call__(self, sim: "Simulation"):
+        from . import diagnostics
+        adv, wave = jax.jit(
+            lambda s, dt: diagnostics.cfl_numbers(sim.model, s, dt)
+        )(sim.state, sim.dt)
+        current = max(float(adv), float(wave))
+        if current <= 0:
+            return
+        factor = min(self.max_change,
+                     max(self.min_change, self.cfl / current))
+        new_dt = sim.dt * factor
+        if self.max_dt is not None:
+            new_dt = min(new_dt, self.max_dt)
+        new_dt = max(new_dt, self.min_dt)
+        if abs(new_dt - sim.dt) / sim.dt > 1e-12:
+            logger.info("TimeStepWizard: dt %.3e -> %.3e (CFL %.3f)",
+                        sim.dt, new_dt, current)
+            sim.dt = new_dt
+            sim._compiled.clear()
+
+
 def progress_callback(h0=None):
     """A ready-made progress logger matching the reference's fields
     (SWMHD_example.jl:47-65): time, iteration, max|u|, max A, min h, wall

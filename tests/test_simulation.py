@@ -108,6 +108,24 @@ class TestWriters:
 
 
 class TestCheckpoint:
+    def test_time_step_wizard(self):
+        from swmhd_tpu import (Grid, ShallowWaterModel, Simulation,
+                               Callback, IterationInterval, TimeStepWizard)
+        import jax.numpy as jnp
+        g = Grid.regular(32, 32, (0, 1), (0, 1), dtype=jnp.float64)
+        model = ShallowWaterModel(grid=g, momentum_advection="centered2",
+                                  mass_advection="centered2",
+                                  tracer_advection="centered2",
+                                  gravitational_acceleration=1.0)
+        state = model.initial_state(h=1.0)
+        # dt grossly over the wave CFL: wizard must shrink it
+        sim = Simulation(model, dt=0.5, stop_iteration=4)
+        sim.callbacks["wizard"] = Callback(
+            TimeStepWizard(cfl=0.5, min_change=0.1),
+            IterationInterval(1))
+        sim.run(state)
+        assert sim.dt < 0.5
+
     def test_save_restore_resume(self, tmp_path):
         model = small_model()
         state = small_state(model)
