@@ -56,7 +56,7 @@ def bench_config(n_dev, Nx, Ny, steps, overlap, dt=1e-3):
         st = state
     else:
         mesh = make_mesh(n_devices=n_dev)
-        dd = DomainDecomposition(model, mesh, halo=model.halo,
+        dd = DomainDecomposition(model, mesh,
                                  overlap=overlap)
         st = dd.shard_state(state)
         step = dd.step_fn(dt, steps)

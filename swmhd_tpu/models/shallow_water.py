@@ -123,11 +123,23 @@ class ShallowWaterModel:
 
     @property
     def halo(self) -> int:
+        """Widest single-operator stencil half-width (WENO5 → 3)."""
         h = max(self.momentum_advection.halo, self.mass_advection.halo,
                 self.tracer_advection.halo, 2)  # 2: jacobian Lorentz chain
         if self.closure is not None:
             h = max(h, 2 * getattr(self.closure, "halo", 1))
         return h
+
+    @property
+    def exchange_halo(self) -> int:
+        """Composed stencil radius of ONE tendency evaluation — the halo a
+        distributed tile must exchange per RK substage. Wider than `halo`:
+        a reconstruction (radius `halo`) feeds a flux divergence (+1) whose
+        transport velocity is itself reconstructed (+1 shift of another
+        radius-`halo` reconstruction); the Lorentz chains compose to ≤ 4.
+        Validated empirically by the sharded==single-device equality tests
+        at this width (tests/test_parallel.py)."""
+        return self.halo + 3
 
     # -- construction ---------------------------------------------------------
 

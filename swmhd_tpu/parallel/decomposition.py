@@ -120,11 +120,13 @@ class DomainDecomposition:
 
     model: ShallowWaterModel
     mesh: Mesh
-    halo: int = 6
+    halo: Optional[int] = None
     overlap: bool = False
 
     def __post_init__(self):
         g = self.model.grid
+        if self.halo is None:
+            self.halo = self.model.exchange_halo
         self.px = self.mesh.shape[AXIS_X]
         self.py = self.mesh.shape[AXIS_Y]
         if g.Nx % self.px or g.Ny % self.py:
@@ -255,6 +257,12 @@ class DomainDecomposition:
         inserts the reduction collectives; results are exact global values
         per step (same contract as the single-device path,
         ShallowWaterModel.step_fn)."""
+        need = self.model.exchange_halo
+        if self.halo < need:
+            raise ValueError(
+                f"halo {self.halo} < composed tendency radius {need} "
+                f"(model.exchange_halo); the exchanged ring would be too "
+                f"thin and tiles would silently diverge")
         fspec = self.field_spec
 
         @partial(shard_map, mesh=self.mesh,

@@ -130,7 +130,7 @@ def test_halo_pad_roundtrip():
     periodic wrap of the global field."""
     model, state = build(VECTOR_INVARIANT, N=32)
     mesh = make_mesh(shape=(2, 2))
-    dd = DomainDecomposition(model, mesh, halo=3)
+    dd = DomainDecomposition(model, mesh, halo=6)
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
