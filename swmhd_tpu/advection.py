@@ -30,6 +30,7 @@ flow, XLA-friendly.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable
 
 import jax.numpy as jnp
@@ -43,18 +44,26 @@ from . import operators as op
 def upwind_biased_product(u_t, pl_, pr):
     """((ũ+|ũ|)ψᴸ + (ũ−|ũ|)ψᴿ)/2 — pick the upwind reconstruction.
 
-    Reference: sw_mhd_divergence_functions.jl:3."""
-    return 0.5 * ((u_t + jnp.abs(u_t)) * pl_ + (u_t - jnp.abs(u_t)) * pr)
+    Reference: sw_mhd_divergence_functions.jl:3.
+
+    Uses builtin ``abs`` (dispatches through ``__abs__``) so the halo-slab
+    fast path (swmhd_tpu.ops.slab_step) can flow its extent-tracking
+    wrapper through unchanged."""
+    return 0.5 * ((u_t + abs(u_t)) * pl_ + (u_t - abs(u_t)) * pr)
 
 
 # -- index masks for bounded-wall degradation -----------------------------------
+#
+# Global-index aware (operators.IndexContext) so the same masks are exact
+# inside a shard_map-ped padded tile: comparisons run against the global
+# domain size and each row's global index, not the local tile's.
 
 def _index_x(a):
-    return jnp.arange(a.shape[0])[:, None]
+    return op.global_index_x(a)
 
 
 def _index_y(a):
-    return jnp.arange(a.shape[1])[None, :]
+    return op.global_index_y(a)
 
 
 # =================================================================================
@@ -156,7 +165,7 @@ def _degrade_x_f(r3, c, grid, left):
     if grid.topology_x != BOUNDED:
         return r3
     i = _index_x(c)
-    N = grid.Nx
+    N = op.global_nx(grid)
     first = jnp.where(left, op.shift_x(c, -1, grid), c)  # 1st-order fallback
     # Outermost two faces on each side degrade.
     if left:
@@ -172,7 +181,7 @@ def _degrade_y_f(r3, c, grid, left):
     if grid.topology_y != BOUNDED:
         return r3
     j = _index_y(c)
-    N = grid.Ny
+    N = op.global_ny(grid)
     first = jnp.where(left, op.shift_y(c, -1, grid), c)
     if left:
         r = jnp.where(j < 2, first, r3)
@@ -218,8 +227,27 @@ def _weno5_right(c, sh):
     return _weno_combine((p0, p1, p2), (b0, b1, b2))
 
 
+# Divide-free weight evaluation: multiply the nonlinear-weight numerators
+# and the normalisation by ((b0+eps)(b1+eps)(b2+eps))^2, turning the classic
+# a_k = gamma_k/(b_k+eps)^2 (3 divides) + normalisation (1 divide) into
+# 1 divide + a handful of multiplies. Algebraically the same rational
+# function as the Jiang & Shu form; floating-point results differ at
+# roundoff only. TPU VPU divides cost several multiply-passes, so this is
+# a large fraction of WENO runtime. SWMHD_WENO_RATIONAL=0 restores the
+# textbook evaluation.
+_WENO_RATIONAL = os.environ.get("SWMHD_WENO_RATIONAL", "1") == "1"
+
+
 def _weno_combine(ps, betas, betas_external=None):
     b = betas_external if betas_external is not None else betas
+    if _WENO_RATIONAL:
+        q0 = (b[0] + _WENO_EPS) ** 2
+        q1 = (b[1] + _WENO_EPS) ** 2
+        q2 = (b[2] + _WENO_EPS) ** 2
+        a0 = _GAMMA[0] * (q1 * q2)
+        a1 = _GAMMA[1] * (q0 * q2)
+        a2 = _GAMMA[2] * (q0 * q1)
+        return (a0 * ps[0] + a1 * ps[1] + a2 * ps[2]) / (a0 + a1 + a2)
     a0 = _GAMMA[0] / (b[0] + _WENO_EPS) ** 2
     a1 = _GAMMA[1] / (b[1] + _WENO_EPS) ** 2
     a2 = _GAMMA[2] / (b[2] + _WENO_EPS) ** 2
@@ -317,7 +345,7 @@ def _degrade_weno_x_f(r5, c, grid, left):
     if grid.topology_x != BOUNDED:
         return r5
     i = _index_x(c)
-    N = grid.Nx
+    N = op.global_nx(grid)
     r3 = left3_x_f(c, grid) if left else right3_x_f(c, grid)
     if left:
         return jnp.where((i < 3) | (i > N - 2), r3, r5)
@@ -328,7 +356,7 @@ def _degrade_weno_y_f(r5, c, grid, left):
     if grid.topology_y != BOUNDED:
         return r5
     j = _index_y(c)
-    N = grid.Ny
+    N = op.global_ny(grid)
     r3 = left3_y_f(c, grid) if left else right3_y_f(c, grid)
     if left:
         return jnp.where((j < 3) | (j > N - 2), r3, r5)

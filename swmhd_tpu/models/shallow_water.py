@@ -203,13 +203,25 @@ class ShallowWaterModel:
         transport, or its tendency) is pinned to zero on the wall face —
         face 0 of the bounded axis. The opposite wall face is not stored
         (face-count = center-count arrays); its zero flux is enforced by
-        the wall-aware flux divergences (operators.d*_c_flux)."""
+        the wall-aware flux divergences (operators.d*_c_flux).
+
+        Global-index aware (operators.IndexContext) so a shard_map-ped
+        padded tile zeroes the true domain wall face, on edge shards only."""
         g = self.grid
         from ..grid import BOUNDED
+        ctx = op.get_index_ctx()
         if g.topology_x == BOUNDED:
-            u_like = u_like.at[0, :].set(0.0)
+            if ctx is None:
+                u_like = u_like.at[0, :].set(0.0)
+            else:
+                u_like = jnp.where(op.global_index_x(u_like) == 0,
+                                   0.0, u_like)
         if g.topology_y == BOUNDED:
-            v_like = v_like.at[:, 0].set(0.0)
+            if ctx is None:
+                v_like = v_like.at[:, 0].set(0.0)
+            else:
+                v_like = jnp.where(op.global_index_y(v_like) == 0,
+                                   0.0, v_like)
         return u_like, v_like
 
     def _apply_forcing(self, state, Gu, Gv, Gh, GA):

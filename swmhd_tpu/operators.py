@@ -33,7 +33,10 @@ Operator dictionary vs Oceananigans (uniform grid):
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
+from jax import lax
 
 from .grid import Grid, PERIODIC, BOUNDED
 
@@ -46,7 +49,72 @@ __all__ = [
     "ddx_f", "ddx_c", "ddy_f", "ddy_c",
     "laplacian_cc", "vorticity_ff", "divergence_cc",
     "kinetic_energy_cc",
+    "IndexContext", "set_index_ctx", "get_index_ctx",
+    "global_index_x", "global_index_y", "global_nx", "global_ny",
 ]
+
+
+# -- global-index context (sharded BOUNDED topology) ----------------------------
+#
+# All wall machinery — clamped shifts, wall-flux zeroing, near-wall stencil
+# degradation (advection), no-penetration masks (model) — is keyed on the
+# *global* index of each row/column. On a single unsharded array the global
+# index is just the local one; inside a shard_map-ped tile (padded with an
+# exchanged halo) it is offset by the shard's (traced) origin. Installing an
+# IndexContext during the local-tendency trace makes the identical tendency
+# code wall-exact on every shard (see parallel/decomposition.py; the
+# reference behavior preserved is the Bounded-wall stencil branching of
+# sw_mhd_divergence_functions.jl:42-57).
+
+@dataclasses.dataclass
+class IndexContext:
+    """Maps local array indices to global domain indices.
+
+    ``ox``/``oy``: global index of local row/column 0 (may be a traced
+    scalar inside shard_map). ``gNx``/``gNy``: global domain sizes (the
+    sizes the wall masks compare against, instead of the local
+    ``grid.Nx/Ny``)."""
+    ox: object
+    oy: object
+    gNx: int
+    gNy: int
+
+
+_INDEX_CTX = [None]
+
+
+def set_index_ctx(ctx):
+    """Install an IndexContext (None to clear); returns the previous one."""
+    old = _INDEX_CTX[0]
+    _INDEX_CTX[0] = ctx
+    return old
+
+
+def get_index_ctx():
+    return _INDEX_CTX[0]
+
+
+def global_index_x(a) -> jnp.ndarray:
+    """Global x-index of every row of ``a``, shaped (nx, 1) for masking."""
+    idx = jnp.arange(a.shape[0])[:, None]
+    ctx = _INDEX_CTX[0]
+    return idx if ctx is None else idx + ctx.ox
+
+
+def global_index_y(a) -> jnp.ndarray:
+    idx = jnp.arange(a.shape[1])[None, :]
+    ctx = _INDEX_CTX[0]
+    return idx if ctx is None else idx + ctx.oy
+
+
+def global_nx(grid: Grid) -> int:
+    ctx = _INDEX_CTX[0]
+    return grid.Nx if ctx is None else ctx.gNx
+
+
+def global_ny(grid: Grid) -> int:
+    ctx = _INDEX_CTX[0]
+    return grid.Ny if ctx is None else ctx.gNy
 
 
 # -- shifts -------------------------------------------------------------------
@@ -83,19 +151,37 @@ def shift_y(a: jnp.ndarray, n: int, grid: Grid) -> jnp.ndarray:
 
 
 def _clamped_shift(a: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
-    # Replicate edge values instead of wrapping: out[i] = a[clip(i+n)].
+    # Replicate edge values instead of wrapping: out[i] = a[clip(i+n)],
+    # with i and the clip range in GLOBAL indices (IndexContext-aware so a
+    # shard_map-ped padded tile clamps at the true domain walls, not at its
+    # own edges; interior shards never trigger the clamp).
+    ctx = _INDEX_CTX[0]
     rolled = jnp.roll(a, -n, axis=axis)
-    if n > 0:
+    if ctx is None:
+        if n > 0:
+            idx = [slice(None)] * a.ndim
+            idx[axis] = slice(-n, None)
+            edge = [slice(None)] * a.ndim
+            edge[axis] = slice(-1, None)
+            return rolled.at[tuple(idx)].set(a[tuple(edge)])
         idx = [slice(None)] * a.ndim
-        idx[axis] = slice(-n, None)
+        idx[axis] = slice(None, -n)
         edge = [slice(None)] * a.ndim
-        edge[axis] = slice(-1, None)
+        edge[axis] = slice(None, 1)
         return rolled.at[tuple(idx)].set(a[tuple(edge)])
-    idx = [slice(None)] * a.ndim
-    idx[axis] = slice(None, -n)
-    edge = [slice(None)] * a.ndim
-    edge[axis] = slice(None, 1)
-    return rolled.at[tuple(idx)].set(a[tuple(edge)])
+    gi = global_index_x(a) if axis == 0 else global_index_y(a)
+    gN = ctx.gNx if axis == 0 else ctx.gNy
+    origin = ctx.ox if axis == 0 else ctx.oy
+    if n > 0:
+        cond = gi + n > gN - 1
+        wall_local = gN - 1 - origin   # local index of the global last row
+    else:
+        cond = gi + n < 0
+        wall_local = -origin           # local index of global row 0
+    # dynamic_slice clamps the (traced) start, so shards that don't own the
+    # wall row read harmless in-range data — their cond is all-False anyway.
+    wall = lax.dynamic_slice_in_dim(a, wall_local, 1, axis)
+    return jnp.where(cond, wall, rolled)
 
 
 # -- differences (δ) ----------------------------------------------------------
@@ -128,14 +214,22 @@ def dy_c(a, grid):  # δyᵃᶜᵃ
 def dx_c_flux(f, grid):
     up = shift_x(f, 1, grid)
     if grid.topology_x == BOUNDED:
-        up = up.at[-1, :].set(0.0)
+        if _INDEX_CTX[0] is None:
+            up = up.at[-1, :].set(0.0)
+        else:  # zero the flux through the GLOBAL wall face
+            up = jnp.where(global_index_x(up) == global_nx(grid) - 1,
+                           0.0, up)
     return up - f
 
 
 def dy_c_flux(f, grid):
     up = shift_y(f, 1, grid)
     if grid.topology_y == BOUNDED:
-        up = up.at[:, -1].set(0.0)
+        if _INDEX_CTX[0] is None:
+            up = up.at[:, -1].set(0.0)
+        else:
+            up = jnp.where(global_index_y(up) == global_ny(grid) - 1,
+                           0.0, up)
     return up - f
 
 

@@ -214,7 +214,7 @@ def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
         has_prev = zeta != 0.0
         n_out = 8 if write_G else 4
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                    + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+                    + [pl.BlockSpec(memory_space=pl.ANY)] * 4
                     + ([tile_spec] * 4 if has_prev else []))
         return pl.pallas_call(
             make_kernel(gamma, zeta, write_G),

@@ -138,12 +138,16 @@ class DomainDecomposition:
         if self.halo > min(self.nx, self.ny):
             raise ValueError("halo wider than local tile")
         # local padded grid: same spacings, roll-based ops stay valid for
-        # every interior point within `halo` of the pad edge
+        # every interior point within `halo` of the pad edge. The GLOBAL
+        # topology is preserved: bounded-wall machinery (clamped shifts,
+        # wall-flux zeroing, near-wall stencil degradation, no-penetration
+        # masks) stays active on the tile and is made wall-exact by the
+        # operators.IndexContext installed around each tendency trace,
+        # which maps local tile indices to global domain indices.
         self.local_grid = dataclasses.replace(
             g, Nx=self.nx + 2 * self.halo, Ny=self.ny + 2 * self.halo,
             Lx=g.dx * (self.nx + 2 * self.halo),
-            Ly=g.dy * (self.ny + 2 * self.halo),
-            topology_x=PERIODIC, topology_y=PERIODIC)
+            Ly=g.dy * (self.ny + 2 * self.halo))
         self.local_model = dataclasses.replace(
             self.model, grid=self.local_grid)
         self.field_spec = P(AXIS_X, AXIS_Y)
@@ -173,6 +177,25 @@ class DomainDecomposition:
         H = self.halo
         return a[H:H + self.nx, H:H + self.ny]
 
+    def _tile_origin(self):
+        """Global index of local row/col 0 of the *unpadded* tile (traced)."""
+        ox = jax.lax.axis_index(AXIS_X) * self.nx
+        oy = jax.lax.axis_index(AXIS_Y) * self.ny
+        return ox, oy
+
+    def _ctx_tendencies(self, st, ox, oy):
+        """Run the single-device tendency code with a global IndexContext so
+        all wall machinery (clamped shifts, flux zeroing, stencil
+        degradation, no-penetration masks) acts at the true domain walls."""
+        from .. import operators as op
+        g = self.model.grid
+        prev = op.set_index_ctx(op.IndexContext(ox=ox, oy=oy,
+                                                gNx=g.Nx, gNy=g.Ny))
+        try:
+            return self.local_model.tendencies(st)
+        finally:
+            op.set_index_ctx(prev)
+
     def _local_tendencies(self, h, u, v, A, clock):
         """Pad all prognostics, evaluate the full tendency on the padded
         tile with the single-device code path, crop."""
@@ -180,7 +203,8 @@ class DomainDecomposition:
             return self._local_tendencies_overlap(h, u, v, A, clock)
         st = State(h=self._pad(h), u=self._pad(u), v=self._pad(v),
                    A=self._pad(A), clock=clock)
-        G = self.local_model.tendencies(st)
+        ox, oy = self._tile_origin()
+        G = self._ctx_tendencies(st, ox - self.halo, oy - self.halo)
         return (self._crop(G.h), self._crop(G.u),
                 self._crop(G.v), self._crop(G.A))
 
@@ -190,30 +214,35 @@ class DomainDecomposition:
         width ``halo`` from the exchanged pad."""
         H = self.halo
         nx, ny = self.nx, self.ny
-        lm = self.local_model
+
+        ox, oy = self._tile_origin()
 
         # 1. halo exchange — independent of the interior compute below.
         padded = [self._pad(f) for f in (h, u, v, A)]
 
-        # 2. interior from local periodic rolls: valid at distance >= H
-        #    from the tile edge (the wrap ring is overwritten in step 3).
-        G_int = lm.tendencies(State(h=h, u=u, v=v, A=A, clock=clock))
+        # 2. interior from local rolls on the unpadded tile: valid at
+        #    distance >= H from the tile edge (the wrap ring is overwritten
+        #    in step 3; near-wall rows of edge shards live inside that ring).
+        G_int = self._ctx_tendencies(
+            State(h=h, u=u, v=v, A=A, clock=clock), ox, oy)
         G = [G_int.h, G_int.u, G_int.v, G_int.A]
 
         # 3. edge bands from the padded tile. A band of 3H input rows
         #    yields H valid output rows (radius H stencils).
         def band_x(lo_row):  # input rows lo_row .. lo_row+3H of padded
             fs = [p[lo_row:lo_row + 3 * H, :] for p in padded]
-            Gb = lm.tendencies(State(h=fs[0], u=fs[1], v=fs[2], A=fs[3],
-                                     clock=clock))
+            Gb = self._ctx_tendencies(
+                State(h=fs[0], u=fs[1], v=fs[2], A=fs[3], clock=clock),
+                ox - H + lo_row, oy - H)
             # valid output = band rows H..2H-1, crop y-halo
             return [b[H:2 * H, H:H + ny]
                     for b in (Gb.h, Gb.u, Gb.v, Gb.A)]
 
         def band_y(lo_col):
             fs = [p[:, lo_col:lo_col + 3 * H] for p in padded]
-            Gb = lm.tendencies(State(h=fs[0], u=fs[1], v=fs[2], A=fs[3],
-                                     clock=clock))
+            Gb = self._ctx_tendencies(
+                State(h=fs[0], u=fs[1], v=fs[2], A=fs[3], clock=clock),
+                ox - H, oy - H + lo_col)
             return [b[H:H + nx, H:2 * H]
                     for b in (Gb.h, Gb.u, Gb.v, Gb.A)]
 
