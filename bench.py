@@ -3,16 +3,18 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference publishes no wall-time numbers (BASELINE.md), so vs_baseline
-is measured against a conservative estimate of the reference's per-point
-cost on its demonstrated hardware path (single-device CPU, ~1e7 pts/s for a
-WENO5 RK3 shallow-water step — Oceananigans-class throughput).
+The reference publishes no wall-time numbers (BASELINE.md), so the honest
+baseline is the hardware roofline: BASELINE.json's stencil-throughput
+target is >= 80% of HBM bandwidth-of-light for the fused step.
+``vs_baseline`` is therefore achieved_fraction_of_light / 0.80 — 1.0 means
+the 80% target is met exactly; the raw fraction is also emitted as
+``hbm_fraction_of_light``. (Bandwidth-of-light for one RK3 step = the
+24-field-transfer minimum at peak HBM bandwidth; see profiling.py.)
 
 Environment knobs:
   SWMHD_BENCH_N      grid size (default 2048)
-  SWMHD_BENCH_FUSED  "1" -> use the fused Pallas substage kernels (compile
-                     is slow the first time but persistently cached; best
-                     for N <= ~512 where windows stay compile-feasible)
+  SWMHD_BENCH_FUSED  "1" -> use the fused Pallas substage kernels
+                     (persistently cached after first compile)
 """
 
 import json
@@ -22,7 +24,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-REFERENCE_POINTS_PER_S = 1.0e7  # single-device reference-class throughput
+TARGET_FRACTION_OF_LIGHT = 0.80  # BASELINE.json stencil-throughput target
 
 
 def build(N=2048, dtype=jnp.float32):
@@ -67,13 +69,22 @@ def main():
 
     bench = benchmark_step(step, state, steps_per_call, n_calls=5)
 
-    print(json.dumps({
+    frac = bench.hbm_fraction_of_light
+    out = {
         "metric": f"grid-points/s/chip (SWMHD RK3 step, {N}^2 f32, WENO5 "
-                  f"vector-invariant + jacobian Lorentz, {path} path)",
+                  f"vector-invariant + jacobian Lorentz, {path} path; "
+                  f"vs_baseline = fraction of HBM bandwidth-of-light / 0.80 "
+                  f"target)",
         "value": round(bench.points_per_s, 1),
         "unit": "points/s",
-        "vs_baseline": round(bench.points_per_s / REFERENCE_POINTS_PER_S, 2),
-    }))
+    }
+    if frac is not None:
+        out["vs_baseline"] = round(frac / TARGET_FRACTION_OF_LIGHT, 4)
+        out["hbm_fraction_of_light"] = round(frac, 4)
+        out["hbm_gbps_at_min_traffic"] = round(bench.hbm_gbps_estimate, 1)
+    else:  # non-TPU backend: no roofline to compare against
+        out["vs_baseline"] = 0.0
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

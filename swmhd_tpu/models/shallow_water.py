@@ -189,13 +189,21 @@ class ShallowWaterModel:
     # -- tendencies -------------------------------------------------------------
 
     def tendencies(self, state: State) -> State:
-        """G = ∂t(state) as a State-shaped pytree (clock untouched)."""
-        if self.formulation == VECTOR_INVARIANT:
-            Gu, Gv, Gh, GA = self._tendencies_vector_invariant(state)
-        else:
-            Gu, Gv, Gh, GA = self._tendencies_conservative(state)
-        Gu, Gv, Gh, GA = self._apply_forcing(state, Gu, Gv, Gh, GA)
-        Gu, Gv = self._mask_walls(Gu, Gv)
+        """G = ∂t(state) as a State-shaped pytree (clock untouched).
+
+        Traced under a pad-memo roll scope (operators.pad_roll_scope): every
+        shifted array is wrap-padded once and sliced, which XLA fuses,
+        instead of materialising one copy per roll — bitwise-identical
+        values, ~1.6x faster step on TPU (benchmarks/exp_padroll.py). The
+        scope yields to the slab / fused-Pallas hooks when those are
+        active."""
+        with op.pad_roll_scope():
+            if self.formulation == VECTOR_INVARIANT:
+                Gu, Gv, Gh, GA = self._tendencies_vector_invariant(state)
+            else:
+                Gu, Gv, Gh, GA = self._tendencies_conservative(state)
+            Gu, Gv, Gh, GA = self._apply_forcing(state, Gu, Gv, Gh, GA)
+            Gu, Gv = self._mask_walls(Gu, Gv)
         return State(h=Gh, u=Gu, v=Gv, A=GA, clock=state.clock)
 
     def _mask_walls(self, u_like, v_like):

@@ -132,6 +132,59 @@ def set_roll_impl(fn):
     return old
 
 
+def make_pad_roll(radius: int = 4):
+    """Pad-once-per-(array, axis) roll: each distinct array that gets
+    shifted is wrap-padded once (one concatenate); every shift of it is
+    then a ``lax.slice`` of the pad. Slices of a fusion parameter are free
+    indexed reads in XLA, whereas each materialised ``jnp.roll`` is a copy
+    — on TPU v5e this cuts the 2048² RK3 step from 12.3 to 7.8 ms (see
+    benchmarks/exp_padroll.py). Values are bitwise identical to jnp.roll.
+
+    The memo pins each base array so recycled ``id()``s cannot alias; use
+    one hook per trace (see :func:`pad_roll_scope`) so pinned tracers are
+    released when the trace ends."""
+    memo = {}
+
+    def roll(a, r, axis):
+        n = a.shape[axis]
+        rr = ((r + n // 2) % n) - n // 2
+        if abs(rr) > radius or n < radius:
+            return jnp.roll(a, r, axis)
+        key = (id(a), axis)
+        ent = memo.get(key)
+        if ent is None or ent[0] is not a:
+            lo = lax.slice_in_dim(a, n - radius, n, axis=axis)
+            hi = lax.slice_in_dim(a, 0, radius, axis=axis)
+            ent = (a, lax.concatenate([lo, a, hi], dimension=axis))
+            memo[key] = ent
+        start = radius - rr       # out[i] = a[i - rr] = pad[i - rr + radius]
+        return lax.slice_in_dim(ent[1], start, start + n, axis=axis)
+
+    return roll
+
+
+class pad_roll_scope:
+    """Context manager installing a fresh pad-memo roll for one tendency
+    trace. A no-op when a specialised hook (slab, fused-kernel) is already
+    installed, so fast paths compose instead of fighting."""
+
+    def __init__(self, radius: int = 4):
+        self.radius = radius
+        self._prev = None
+        self._installed = False
+
+    def __enter__(self):
+        if _ROLL[0] is jnp.roll:
+            self._prev = set_roll_impl(make_pad_roll(self.radius))
+            self._installed = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._installed:
+            set_roll_impl(self._prev)
+        return False
+
+
 def shift_x(a: jnp.ndarray, n: int, grid: Grid) -> jnp.ndarray:
     """out[i, j] = a[i+n, j], periodic wrap or bounded edge-clamp."""
     if n == 0:

@@ -6,6 +6,23 @@ energy plots are the de-facto correctness baseline
 (reference: simulation_runs/ and energy_plots/, SURVEY §2.1 C9), available in
 both formulations, plus the two driver scripts' canonical configurations.
 
+The reference scripts do not record these scenarios' ICs (only the two
+driver configurations survive in code), so the ICs here are *pinned
+quantitatively against the recorded artifacts* — see VALIDATION.md:
+
+  - initial magnetic energy read off energy_plots/*.png matches the
+    two-Gaussian dipole (divergence_sw_mhd.jl:33) at amplitude 0.1
+    (low_B: ME₀ ≈ 0.0217 at 128²) and 0.5 (high_B: ME₀ ≈ 0.543);
+  - initial kinetic energy is ZERO for both two_Gaussians scenarios
+    (rest start) and 0.3927 for low_B_low_U — exactly the SWMHD_example
+    vortex at U = 1;
+  - the t=0.1 movie frames (simulation_runs/*.mp4) show low_B_low_U's
+    magnetic potential as a *linear* ramp A = c·y (uniform field
+    B = (−c, 0)), and ME₀ = 0.125 pins c = 0.05: ½·(0.05)²·Lx·Ly = 0.125;
+  - stop times = (movie frame count) × 0.1 (TimeInterval(0.1) output,
+    SWMHD_example.jl:82): low_B → 70 (64² jac) / 60, high_B → 35,
+    low_B_low_U → 15.
+
 A scenario is pure data: grid size, physics params, ICs, Δt, stop time. Use
 :func:`build` to get (model, state) for either formulation.
 """
@@ -61,6 +78,12 @@ def _abs_y_A(slope=0.5):
     return lambda x, y: slope * jnp.abs(y)
 
 
+def _linear_y_A(slope=0.05):
+    """A = c·y — a uniform magnetic field B = (−c, 0); the low_B_low_U IC
+    (pinned by the t=0.1 movie frame + ME₀ = ½c²LxLy = 0.125)."""
+    return lambda x, y: slope * y
+
+
 _REGISTRY: Dict[str, Scenario] = {}
 
 
@@ -70,20 +93,23 @@ def register(s: Scenario):
 
 
 for N in (64, 128):
-    u0, v0 = _vortex(5.0)
+    # Δt = 0.01 is the only recorded step size (SWMHD_example.jl:42); the
+    # gravity-wave CFL at 128² is ~0.8 — stable for RK3, and matching the
+    # reference's Δt keeps the energy-deviation envelopes comparable.
+    dt = 0.01
     register(Scenario(
-        name=f"{N}x{N}_two_Gaussians_low_B", N=N,
-        A0=_two_gaussians(0.1), u0=u0, v0=v0, stop_time=30.0,
-        description="vortex + weak Gaussian-dipole magnetic potential"))
+        name=f"{N}x{N}_two_Gaussians_low_B", N=N, dt=dt,
+        A0=_two_gaussians(0.1), stop_time=70.0 if N == 64 else 60.0,
+        description="rest start + weak Gaussian-dipole magnetic potential"))
     register(Scenario(
-        name=f"{N}x{N}_two_Gaussians_high_B", N=N,
-        A0=_two_gaussians(0.5), u0=u0, v0=v0, stop_time=30.0,
-        description="vortex + strong Gaussian-dipole magnetic potential"))
+        name=f"{N}x{N}_two_Gaussians_high_B", N=N, dt=dt,
+        A0=_two_gaussians(0.5), stop_time=35.0,
+        description="rest start + strong Gaussian-dipole magnetic potential"))
     u0s, v0s = _vortex(1.0)
     register(Scenario(
-        name=f"{N}x{N}_low_B_low_U", N=N,
-        A0=_two_gaussians(0.1), u0=u0s, v0=v0s, stop_time=30.0,
-        description="weak vortex + weak dipole"))
+        name=f"{N}x{N}_low_B_low_U", N=N, dt=dt,
+        A0=_linear_y_A(0.05), u0=u0s, v0=v0s, stop_time=15.0,
+        description="weak vortex + weak uniform field B = (-0.05, 0)"))
 
 # the two driver scripts verbatim
 register(Scenario(
