@@ -39,6 +39,14 @@ def _add_run_args(p):
                    help="checkpoint file to resume from")
     p.add_argument("--movie", action="store_true",
                    help="render A/speed movie + energy plot after the run")
+    p.add_argument("--nu", type=float, default=0.0,
+                   help="momentum diffusivity (Laplacian; biharmonic with "
+                        "--biharmonic)")
+    p.add_argument("--kappa", type=float, default=0.0,
+                   help="tracer diffusivity")
+    p.add_argument("--biharmonic", action="store_true",
+                   help="use -nu grad^4 / -kappa grad^4 instead of "
+                        "Laplacian diffusion")
 
 
 def cmd_list(_args):
@@ -63,8 +71,15 @@ def cmd_run(args):
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
+    model_kwargs = {}
+    if args.nu or args.kappa:
+        from .physics.diffusion import (LaplacianDiffusion,
+                                        BiharmonicDiffusion)
+        cls = BiharmonicDiffusion if args.biharmonic else LaplacianDiffusion
+        model_kwargs["closure"] = cls(nu=args.nu, kappa=args.kappa)
+
     model, state, sc = scenarios.build(args.scenario, args.formulation,
-                                       dtype=dtype)
+                                       dtype=dtype, **model_kwargs)
     dt = args.dt if args.dt is not None else sc.dt
     stop_time = args.stop_time if args.stop_time is not None else sc.stop_time
 

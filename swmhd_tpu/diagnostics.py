@@ -33,10 +33,10 @@ def kinetic_energy(u, v, h, grid: Grid):
     return _integral(0.5 * h * (u2 + v2), grid)
 
 
-def magnetic_energy(A, h, grid: Grid):
+def magnetic_energy(A, h, grid: Grid, A_bg_grad_y: float = 0.0):
     """∫ ½ h (Bx²+By²) with B = (−∂yA, ∂xA)/h at centers
     (SWMHD_example.jl:75)."""
-    Bx, By = magnetic_field_cc(A, h, grid)
+    Bx, By = magnetic_field_cc(A, h, grid, A_bg_grad_y)
     return _integral(0.5 * h * (Bx * Bx + By * By), grid)
 
 
@@ -45,9 +45,10 @@ def potential_energy(h, h0, g_acc, grid: Grid):
     return _integral(0.5 * g_acc * (h - h0) ** 2, grid)
 
 
-def total_energy(u, v, h, A, h0, g_acc, grid: Grid):
+def total_energy(u, v, h, A, h0, g_acc, grid: Grid,
+                 A_bg_grad_y: float = 0.0):
     return (kinetic_energy(u, v, h, grid)
-            + magnetic_energy(A, h, grid)
+            + magnetic_energy(A, h, grid, A_bg_grad_y)
             + potential_energy(h, h0, g_acc, grid))
 
 
@@ -57,9 +58,9 @@ def total_energy_deviation(E, E0):
     return jnp.abs(E - E0) * 100.0
 
 
-def cross_helicity(u, v, A, h, grid: Grid):
+def cross_helicity(u, v, A, h, grid: Grid, A_bg_grad_y: float = 0.0):
     """∫ h (u·B) — an MHD invariant worth monitoring at scale."""
-    Bx, By = magnetic_field_cc(A, h, grid)
+    Bx, By = magnetic_field_cc(A, h, grid, A_bg_grad_y)
     uc = op.ix_c(u, grid)
     vc = op.iy_c(v, grid)
     return _integral(h * (uc * Bx + vc * By), grid)
@@ -89,8 +90,12 @@ def derived_fields(model, state, h0=None):
     velocities (SWMHD_example.jl:67-72, divergence_sw_mhd.jl:63-75,
     test_example.jl:123-125)."""
     g = model.grid
+    gamma = getattr(model, "A_background_gradient_y", 0.0)
     u, v = model.velocities(state)
-    Bx, By = magnetic_field_cc(state.A, state.h, g)
+    Bx, By = magnetic_field_cc(state.A, state.h, g, gamma)
+    A_total = state.A
+    if gamma:
+        A_total = state.A + gamma * g.nodes("cc")[1]
     out = {
         "u": u,
         "v": v,
@@ -99,7 +104,7 @@ def derived_fields(model, state, h0=None):
         "By": By,
         "omega": op.vorticity_ff(u, v, g),
         "h": state.h,
-        "A": state.A,
+        "A": A_total,
     }
     if h0 is not None:
         out["eta"] = state.h - h0
@@ -122,16 +127,17 @@ def cfl_numbers(model, state, dt):
 def energy_report(model, state, h0):
     """All scalar diagnostics in one jit-friendly dict."""
     g = model.grid
+    gamma = getattr(model, "A_background_gradient_y", 0.0)
     u, v = model.velocities(state)
     ke = kinetic_energy(u, v, state.h, g)
-    me = magnetic_energy(state.A, state.h, g)
+    me = magnetic_energy(state.A, state.h, g, gamma)
     pe = potential_energy(state.h, h0, model.gravitational_acceleration, g)
     return {
         "kinetic_energy": ke,
         "magnetic_energy": me,
         "potential_energy": pe,
         "total_energy": ke + me + pe,
-        "cross_helicity": cross_helicity(u, v, state.A, state.h, g),
+        "cross_helicity": cross_helicity(u, v, state.A, state.h, g, gamma),
         "enstrophy": enstrophy(u, v, g),
         **extrema_report(u, v, state.h, state.A, g),
     }

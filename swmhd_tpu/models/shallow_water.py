@@ -86,7 +86,7 @@ def _fields_namespace(model, state):
          meta_fields=["grid", "formulation", "gravitational_acceleration",
                       "coriolis", "momentum_advection", "mass_advection",
                       "tracer_advection", "vector_invariant_stencil",
-                      "closure", "forcing"])
+                      "closure", "forcing", "A_background_gradient_y"])
 @dataclasses.dataclass(frozen=True)
 class ShallowWaterModel:
     grid: Grid
@@ -99,6 +99,12 @@ class ShallowWaterModel:
     vector_invariant_stencil: str = DEFAULT_STENCIL
     closure: object = None            # LaplacianDiffusion / BiharmonicDiffusion
     forcing: tuple = ()               # ((name, fn), ...) name in u,v,uh,vh,h,A
+    # Static linear background γ·y carried by the tracer A: the prognostic
+    # state.A is the PERTURBATION, B gets the γ contribution analytically
+    # (exact at Bounded walls, where the reference imposes the gradient as
+    # a BC — SWMHD_example.jl:19), and the tracer tendency gains the exact
+    # discrete source −γ·ℑyᶜ(Vf)/h from advecting the background.
+    A_background_gradient_y: float = 0.0
 
     def __post_init__(self):
         from ..advection import WENO5
@@ -419,13 +425,22 @@ class ShallowWaterModel:
     def _tracer_tendency(self, A, h, Uf, Vf, divU):
         """∂t A = (A ∇·U − ∇·(U Ã))/h with Ã upwind-reconstructed — the
         hA-conservative discretisation of the induction equation
-        ∂t A + u·∇A = 0 (tracer A, SWMHD_example.jl:26,29)."""
+        ∂t A + u·∇A = 0 (tracer A, SWMHD_example.jl:26,29).
+
+        With a linear background γ·y (A_background_gradient_y), advecting
+        the background adds −γ·ℑyᶜ(Vf)/h: the exact discrete residue of
+        (γy·∇·U − ∇·(U·γỹ))/h when the background's face values are taken
+        analytically (continuum limit −γ·v, i.e. −u·∇(γy))."""
         g = self.grid
         ts = self.tracer_advection
         fx = upwind_biased_product(Uf, ts.left_x_f(A, g), ts.right_x_f(A, g))
         fy = upwind_biased_product(Vf, ts.left_y_f(A, g), ts.right_y_f(A, g))
         div_flux = op.ddx_c_flux(fx, g) + op.ddy_c_flux(fy, g)
-        return (A * divU - div_flux) / h
+        GA = (A * divU - div_flux) / h
+        gamma = self.A_background_gradient_y
+        if gamma:
+            GA = GA - gamma * op.iy_c(Vf, g) / h
+        return GA
 
     # -- time stepping ---------------------------------------------------------------
 

@@ -101,7 +101,10 @@ def _make_kernel_roll(interpret: bool):
     compile time — by a large factor. Entries pin their input tracer so
     id() keys cannot be recycled."""
     import os
-    use_mosaic = os.environ.get("SWMHD_MOSAIC_ROLL", "0") == "1"
+    # Native lane/sublane rotates beat concat-based shifts by ~4.5% per
+    # step on the current Mosaic toolchain (and no longer carry the 4x
+    # compile-time penalty PERFORMANCE.md recorded in round 1).
+    use_mosaic = os.environ.get("SWMHD_MOSAIC_ROLL", "1") == "1"
     base = _tile_roll if (interpret or not use_mosaic) else _mosaic_roll
     memo = {}
 
@@ -168,23 +171,41 @@ def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
             k = 4
             prevs = refs[k:k + 4] if has_prev else ()   # G_prev tiles (VMEM)
             k += 4 if has_prev else 0
-            outs = refs[k:k + 4]                  # updated field tiles
+            outs = refs[k:k + 4]                  # padded updated fields
             k += 4
             gouts = refs[k:k + 4] if write_G else ()
             k += 4 if write_G else 0
-            buf, sems = refs[k], refs[k + 1]
+            buf, ubuf, sems, osems, esems = refs[k:k + 5]
 
-            copies = []
+            # Double-buffered window reads: grid step i consumes slot i%2
+            # and prefetches window i+1 into the other slot, so the HBM
+            # read of the next window overlaps this window's tendency
+            # compute (the grid iterates sequentially on one core; scratch
+            # persists across steps).
+            last = grid_dims[0] - 1
+            slot = i % 2
+
+            def read(window, into, n, src):
+                return pltpu.make_async_copy(
+                    src.at[pl.ds(window * Tx, Px), :],
+                    buf.at[into, n], sems.at[into, n])
+
             for n, src in enumerate(srcs):
-                dma = pltpu.make_async_copy(
-                    src.at[pl.ds(i * Tx, Px), :], buf.at[n], sems.at[n])
-                dma.start()
-                copies.append(dma)
-            for dma in copies:
-                dma.wait()
+                @pl.when(i == 0)
+                def _(n=n, src=src):
+                    read(i, slot, n, src).start()
+                    if last > 0:  # static: ntiles > 1
+                        read(i + 1, 1 - slot, n, src).start()
+
+                @pl.when((i > 0) & (i < last))
+                def _(n=n, src=src):
+                    read(i + 1, 1 - slot, n, src).start()
+            for n, src in enumerate(srcs):
+                read(i, slot, n, src).wait()
 
             clock = Clock(time=time_ref[0], iteration=jnp.int32(0))
-            st = State(h=buf[0], u=buf[1], v=buf[2], A=buf[3], clock=clock)
+            st = State(h=buf[slot, 0], u=buf[slot, 1], v=buf[slot, 2],
+                       A=buf[slot, 3], clock=clock)
 
             prev_roll = op_mod.set_roll_impl(_make_kernel_roll(interpret))
             try:
@@ -192,41 +213,118 @@ def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
             finally:
                 op_mod.set_roll_impl(prev_roll)
 
+            # Updated fields are written back PADDED via manual DMA: the
+            # interior lands at rows [H + i*Tx, H + i*Tx + Tx) and the two
+            # edge tiles also write the wrap rows (first tile -> the top
+            # pad, last tile -> the bottom pad), so the output feeds the
+            # next substage directly — the XLA wrap-pad pass between
+            # substages disappears (a full read+write of every field per
+            # substage at 2048²). All DMA offsets are non-negative affine
+            # in the program id or constants; Mosaic cannot lower offsets
+            # whose static range goes negative (e.g. i*Tx - H), which
+            # rules out the read-side wrap-DMA alternative. Writes are
+            # double-buffered like the reads: step i stages into ubuf slot
+            # i%2 and only waits for the write it issued two steps ago.
             Gt = (G.h, G.u, G.v, G.A)
+
+            def write(step, from_slot, n):
+                return pltpu.make_async_copy(
+                    ubuf.at[from_slot, n],
+                    outs[n].at[pl.ds(H + step * Tx, Tx), :],
+                    osems.at[from_slot, n])
+
+            def write_wait(from_slot, n):
+                # waits only consume (semaphore, byte count): a constant-
+                # offset descriptor avoids emitting slices whose static
+                # offset range goes negative (Mosaic rejects those).
+                pltpu.make_async_copy(
+                    ubuf.at[from_slot, n],
+                    outs[n].at[pl.ds(H, Tx), :],
+                    osems.at[from_slot, n]).wait()
+
             for n in range(4):
                 g_tile = Gt[n][H:H + Tx, :]
-                s_tile = buf[n][H:H + Tx, :]
+                s_tile = buf[slot, n][H:H + Tx, :]
                 upd = s_tile + dt * gamma * g_tile
                 if has_prev:
                     upd = upd + dt * zeta * prevs[n][...]
-                outs[n][...] = upd
+
+                @pl.when(i >= 2)
+                def _(n=n):
+                    write_wait(slot, n)
+
+                ubuf[slot, n, :, :] = upd
                 if write_G:
                     gouts[n][...] = g_tile
+                write(i, slot, n).start()
+
+                @pl.when(i == 0)
+                def _(n=n):
+                    d = pltpu.make_async_copy(
+                        ubuf.at[slot, n, pl.ds(0, H), :],
+                        outs[n].at[pl.ds(g.Nx + H, H), :], esems.at[n])
+                    d.start()
+                    d.wait()
+
+                @pl.when(i == last)
+                def _(n=n):
+                    d = pltpu.make_async_copy(
+                        ubuf.at[slot, n, pl.ds(Tx - H, H), :],
+                        outs[n].at[pl.ds(0, H), :], esems.at[n])
+                    d.start()
+                    d.wait()
+
+                # drain: the final grid step leaves its own write and (for
+                # more than one tile) the previous step's in flight.
+                @pl.when(i == last)
+                def _(n=n):
+                    write_wait(slot, n)
+                    if last > 0:
+                        write_wait(1 - slot, n)
 
         return kernel
 
     grid_dims = (g.Nx // Tx,)
     tile_spec = pl.BlockSpec((Tx, Ny), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    field_shape = jax.ShapeDtypeStruct((g.Nx, Ny), g.dtype)
+    tile_shape = jax.ShapeDtypeStruct((g.Nx, Ny), g.dtype)
+    padded_shape = jax.ShapeDtypeStruct((g.Nx + 2 * H, Ny), g.dtype)
 
     def make_call(gamma, zeta, write_G):
         has_prev = zeta != 0.0
-        n_out = 8 if write_G else 4
+        # Fields ride in HBM explicitly (under a raised vmem limit the
+        # compiler may promote ANY-space inputs to VMEM, where dynamic
+        # DMA slices fail to lower); interpret mode has no HBM space.
+        field_space = pl.ANY if interpret else pltpu.MemorySpace.HBM
+        field_spec = pl.BlockSpec(memory_space=field_space)
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                    + [pl.BlockSpec(memory_space=pl.ANY)] * 4
+                    + [field_spec] * 4
                     + ([tile_spec] * 4 if has_prev else []))
+        out_specs = (field_spec,) * 4 + ((tile_spec,) * 4 if write_G else ())
+        out_shape = ((padded_shape,) * 4
+                     + ((tile_shape,) * 4 if write_G else ()))
+        kwargs = {}
+        if not interpret:
+            # v5e VMEM is physically 128 MiB; the default scoped limit
+            # rejects the unrolled tendency's live set (~82 MB at Tx=32,
+            # Ny=2048 with double-buffered windows).
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=114 * 2 ** 20)
         return pl.pallas_call(
             make_kernel(gamma, zeta, write_G),
             grid=grid_dims,
             in_specs=in_specs,
-            out_specs=(tile_spec,) * n_out,
-            out_shape=(field_shape,) * n_out,
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((4, Px, Ny), g.dtype),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((2, 4, Px, Ny), g.dtype),  # window slots
+                pltpu.VMEM((2, 4, Tx, Ny), g.dtype),  # updated-tile slots
+                pltpu.SemaphoreType.DMA((2, 4)),      # window reads
+                pltpu.SemaphoreType.DMA((2, 4)),      # interior writes
+                pltpu.SemaphoreType.DMA((4,)),        # edge wrap writes
             ],
             interpret=interpret,
+            **kwargs,
         )
 
     calls = [make_call(RK3_GAMMA[0], RK3_ZETA[0], True),
@@ -236,22 +334,27 @@ def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
     def pad(f):
         return jnp.concatenate([f[-H:], f, f[:H]], axis=0)
 
-    def one_step(state: State) -> State:
-        fields = (state.h, state.u, state.v, state.A)
-        tarr = state.clock.time.reshape(1).astype(g.dtype)
+    def one_padded_step(pfields, clock):
+        tarr = clock.time.reshape(1).astype(g.dtype)
         G_prev = ()
-        for s, call in enumerate(calls):
-            out = call(tarr, *map(pad, fields), *G_prev)
-            fields, G_prev = out[:4], out[4:]
-        return State(h=fields[0], u=fields[1], v=fields[2], A=fields[3],
-                     clock=state.clock.tick(dt))
-
-    if n_steps == 1:
-        return one_step
+        for call in calls:
+            out = call(tarr, *pfields, *G_prev)
+            pfields, G_prev = out[:4], out[4:]
+        return pfields, clock.tick(dt)
 
     def fn(state: State) -> State:
-        out, _ = jax.lax.scan(lambda s, _: (one_step(s), None), state,
-                              None, length=n_steps)
-        return out
+        pfields = tuple(pad(f) for f in
+                        (state.h, state.u, state.v, state.A))
+
+        if n_steps == 1:
+            pfields, clock = one_padded_step(pfields, state.clock)
+        else:
+            def body(carry, _):
+                return one_padded_step(*carry), None
+            (pfields, clock), _ = jax.lax.scan(
+                body, (pfields, state.clock), None, length=n_steps)
+
+        h, u, v, A = (f[H:H + g.Nx] for f in pfields)
+        return State(h=h, u=u, v=v, A=A, clock=clock)
 
     return fn

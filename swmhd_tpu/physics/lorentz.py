@@ -37,22 +37,28 @@ from ..advection import (
 
 # -- magnetic field diagnostics -------------------------------------------------
 
-def magnetic_field_cc(A, h, grid: Grid):
+def magnetic_field_cc(A, h, grid: Grid, A_bg_grad_y: float = 0.0):
     """B at cell centers: (Bx, By) = (−ℑyᶜ(∂yᶠA), ℑxᶜ(∂xᶠA))/h.
 
     Matches the jacobian-form `Bx`/`By` (sw_mhd_jacobian_functions.jl:1-7)
     and the derived-field diagnostics `B_x = -∂y(A)/h`, `B_y = ∂x(A)/h`
-    (SWMHD_example.jl:70-71)."""
-    Bx = -op.iy_c(op.ddy_f(A, grid), grid) / h
+    (SWMHD_example.jl:70-71).
+
+    ``A_bg_grad_y`` γ: the prognostic A is a perturbation on a static
+    linear background γ·y (the low_B_low_U uniform field with its wall
+    gradient BCs, SWMHD_example.jl:19 / divergence_sw_mhd.jl:34); the
+    background's y-derivative is added analytically — exact everywhere
+    including Bounded walls, where a stencil could not be."""
+    Bx = -op.iy_c(op.ddy_f(A, grid) + A_bg_grad_y, grid) / h
     By = op.ix_c(op.ddx_f(A, grid), grid) / h
     return Bx, By
 
 
-def magnetic_field_faces(A, h, grid: Grid):
+def magnetic_field_faces(A, h, grid: Grid, A_bg_grad_y: float = 0.0):
     """Face-staggered B of the divergence form: Bx at (f,c), By at (c,f)
     (sw_mhd_divergence_functions.jl:134-140). Also returns the h-free
     numerators hBx/hBy (:142-148) used as the transport field."""
-    hBx = -op.ixy_fc(op.ddy_f(A, grid), grid)   # (f,c)
+    hBx = -op.ixy_fc(op.ddy_f(A, grid) + A_bg_grad_y, grid)   # (f,c)
     hBy = op.ixy_cf(op.ddx_f(A, grid), grid)    # (c,f)
     Bx = hBx / op.ix_f(h, grid)
     By = hBy / op.iy_f(h, grid)
@@ -61,7 +67,7 @@ def magnetic_field_faces(A, h, grid: Grid):
 
 # -- jacobian formulation ---------------------------------------------------------
 
-def lorentz_force_jacobian(A, h, grid: Grid):
+def lorentz_force_jacobian(A, h, grid: Grid, A_bg_grad_y: float = 0.0):
     """(force_u at (f,c), force_v at (c,f)) — the vector-invariant forcing.
 
     Array transcription of lorentz_force_func_x/y
@@ -70,12 +76,13 @@ def lorentz_force_jacobian(A, h, grid: Grid):
         force_u = (1/ℑxᶠh) [ ∂xᶠA · ℑxyᶠᶜ(∂yᶠ Bx) − ℑxyᶠᶜ(∂yᶠA) · ∂xᶠ Bx ]
         force_v = (1/ℑyᶠh) [ ℑxyᶜᶠ(∂xᶠA) · ∂yᶠ By − ∂yᶠA · ℑxyᶜᶠ(∂xᶠ By) ]
 
-    with Bx = −ℑyᶜ(∂yᶠA)/h and By = ℑxᶜ(∂xᶠA)/h at centers."""
-    Bx = -op.iy_c(op.ddy_f(A, grid), grid) / h
-    By = op.ix_c(op.ddx_f(A, grid), grid) / h
+    with Bx = −ℑyᶜ(∂yᶠA)/h and By = ℑxᶜ(∂xᶠA)/h at centers.
+    ``A_bg_grad_y``: see :func:`magnetic_field_cc`."""
+    dAdx_f = op.ddx_f(A, grid)                        # (f,c)
+    dAdy_f = op.ddy_f(A, grid) + A_bg_grad_y          # (c,f)
 
-    dAdx_f = op.ddx_f(A, grid)          # (f,c)
-    dAdy_f = op.ddy_f(A, grid)          # (c,f)
+    Bx = -op.iy_c(dAdy_f, grid) / h
+    By = op.ix_c(dAdx_f, grid) / h
 
     jac_x = (dAdx_f * op.ixy_fc(op.ddy_f(Bx, grid), grid)
              - op.ixy_fc(dAdy_f, grid) * op.ddx_f(Bx, grid))
@@ -89,7 +96,7 @@ def lorentz_force_jacobian(A, h, grid: Grid):
 
 # -- divergence formulation --------------------------------------------------------
 
-def lorentz_force_divergence(A, h, grid: Grid):
+def lorentz_force_divergence(A, h, grid: Grid, A_bg_grad_y: float = 0.0):
     """(force_uh at (f,c), force_vh at (c,f)) = ∇·(hB⊗B) — the conservative
     forcing div_lorentz_x/y (sw_mhd_divergence_functions.jl:162-170).
 
@@ -100,7 +107,7 @@ def lorentz_force_divergence(A, h, grid: Grid):
       flux_hBy_by (c,c): ṽ = ℑyᶜ(hBy);  B̃y = biased y-recon of By
     each weighted by the face area, divergence divided by cell area
     (:59,83,107,131,163-169)."""
-    Bx, By, hBx, hBy = magnetic_field_faces(A, h, grid)
+    Bx, By, hBx, hBy = magnetic_field_faces(A, h, grid, A_bg_grad_y)
 
     Ax, Ay, Az = grid.Ax, grid.Ay, grid.Az
 

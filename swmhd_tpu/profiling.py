@@ -56,22 +56,41 @@ class StepBenchmark:
 # 3 substages x (read 4 prognostics + write 4) field-sized transfers.
 _MIN_FIELD_TRANSFERS_PER_STEP = 24
 
-# Peak HBM bandwidth per chip (GB/s) for roofline fractions.
+# Peak HBM bandwidth per chip (GB/s) for roofline fractions. Longest key
+# wins so "v5 lite" (v5e, reported by axon as "TPU v5 lite0") is not
+# swallowed by the bare "v5" (= v5p) entry.
 HBM_PEAK_GBPS = {
-    "v5e": 819.0, "v5litepod": 819.0, "v5": 2765.0, "v5p": 2765.0,
-    "v4": 1228.0, "v6e": 1640.0,
+    "v5e": 819.0, "v5lite": 819.0, "v5p": 2765.0, "v5": 2765.0,
+    "v4": 1228.0, "v6e": 1640.0, "v6": 1640.0,
+}
+
+# Peak f32 VPU throughput per chip (Gflop/s). The fully-fused WENO5 SWMHD
+# step is compute-bound (arithmetic intensity ~31 flops/byte at minimum
+# HBM traffic >> the ~4.5 flops/byte machine balance), so the achievable
+# ceiling is this roofline, not HBM bandwidth.
+VPU_PEAK_GFLOPS = {
+    "v5e": 3530.0, "v5lite": 3530.0, "v5p": 14700.0, "v5": 14700.0,
+    "v4": 8600.0, "v6e": 7300.0, "v6": 7300.0,
 }
 
 
-def detect_hbm_peak() -> Optional[float]:
+def _detect(table) -> Optional[float]:
     try:
-        kind = jax.devices()[0].device_kind.lower()
+        kind = jax.devices()[0].device_kind.lower().replace(" ", "")
     except Exception:  # pragma: no cover
         return None
-    for key, bw in HBM_PEAK_GBPS.items():
-        if key in kind.replace(" ", ""):
-            return bw
+    for key in sorted(table, key=len, reverse=True):
+        if key in kind:
+            return table[key]
     return None
+
+
+def detect_hbm_peak() -> Optional[float]:
+    return _detect(HBM_PEAK_GBPS)
+
+
+def detect_vpu_peak() -> Optional[float]:
+    return _detect(VPU_PEAK_GFLOPS)
 
 
 def benchmark_step(step_fn: Callable, state, n_steps_per_call: int,

@@ -17,8 +17,12 @@ quantitatively against the recorded artifacts* — see VALIDATION.md:
     (rest start) and 0.3927 for low_B_low_U — exactly the SWMHD_example
     vortex at U = 1;
   - the t=0.1 movie frames (simulation_runs/*.mp4) show low_B_low_U's
-    magnetic potential as a *linear* ramp A = c·y (uniform field
-    B = (−c, 0)), and ME₀ = 0.125 pins c = 0.05: ½·(0.05)²·Lx·Ly = 0.125;
+    magnetic potential as a *linear* ramp A = −0.05·y (uniform field;
+    ME₀ = ½·(0.05)²·Lx·Ly = 0.125), matching the commented-out
+    ``Aᵢ = -0.05*y`` (divergence_sw_mhd.jl:34) and implying a Bounded y
+    topology with the commented-out −0.05 gradient BCs
+    (SWMHD_example.jl:19) — a periodic wrap of the ramp would read
+    ME₀ ≈ 3.9, not the recorded 0.125;
   - stop times = (movie frame count) × 0.1 (TimeInterval(0.1) output,
     SWMHD_example.jl:82): low_B → 70 (64² jac) / 60, high_B → 35,
     low_B_low_U → 15.
@@ -55,6 +59,10 @@ class Scenario:
     u0: Optional[Callable] = None
     v0: Optional[Callable] = None
     h0: float = 1.0
+    topology: tuple = ("periodic", "periodic")
+    # static linear background γ·y for A (state.A holds the perturbation;
+    # see ShallowWaterModel.A_background_gradient_y)
+    A_bg_grad_y: float = 0.0
     description: str = ""
 
 
@@ -76,12 +84,6 @@ def _vortex(U=5.0):
 def _abs_y_A(slope=0.5):
     """A = 0.5|y| of the jacobian driver (SWMHD_example.jl:36)."""
     return lambda x, y: slope * jnp.abs(y)
-
-
-def _linear_y_A(slope=0.05):
-    """A = c·y — a uniform magnetic field B = (−c, 0); the low_B_low_U IC
-    (pinned by the t=0.1 movie frame + ME₀ = ½c²LxLy = 0.125)."""
-    return lambda x, y: slope * y
 
 
 _REGISTRY: Dict[str, Scenario] = {}
@@ -108,8 +110,11 @@ for N in (64, 128):
     u0s, v0s = _vortex(1.0)
     register(Scenario(
         name=f"{N}x{N}_low_B_low_U", N=N, dt=dt,
-        A0=_linear_y_A(0.05), u0=u0s, v0=v0s, stop_time=15.0,
-        description="weak vortex + weak uniform field B = (-0.05, 0)"))
+        u0=u0s, v0=v0s, stop_time=15.0,
+        topology=("periodic", "bounded"), A_bg_grad_y=-0.05,
+        description="weak vortex + uniform field B = (0.05, 0), walls in y; "
+                    "A = -0.05y carried as a static background so its wall "
+                    "gradient BC (SWMHD_example.jl:19) is exact"))
 
 # the two driver scripts verbatim
 register(Scenario(
@@ -140,15 +145,17 @@ def build(name: str, formulation: str = VECTOR_INVARIANT,
     """(model, state) for a named scenario in the requested formulation."""
     sc = get(name)
     grid = Grid.regular(sc.N, sc.N, (-sc.L / 2, sc.L / 2),
-                        (-sc.L / 2, sc.L / 2), dtype=dtype)
+                        (-sc.L / 2, sc.L / 2), topology=sc.topology,
+                        dtype=dtype)
     if formulation == VECTOR_INVARIANT:
-        forcing = jacobian_lorentz_forcing()
+        forcing = jacobian_lorentz_forcing(sc.A_bg_grad_y)
     else:
-        forcing = divergence_lorentz_forcing()
+        forcing = divergence_lorentz_forcing(sc.A_bg_grad_y)
     model = ShallowWaterModel(
         grid=grid, formulation=formulation,
         gravitational_acceleration=sc.g, coriolis=FPlane(f=sc.f),
-        forcing=forcing, **model_kwargs)
+        forcing=forcing, A_background_gradient_y=sc.A_bg_grad_y,
+        **model_kwargs)
     # conservative starts from rest unless the scenario gives velocities
     # (uh = u·h with h0 uniform)
     u0 = sc.u0

@@ -60,8 +60,12 @@ def test_closed_basin_mass_conservation():
 
 
 def test_gravity_wave_reflects_not_wraps():
-    """A height bump near a wall must not reappear on the opposite side
-    (periodic wrap) — it reflects. Compare against a periodic run."""
+    """A height bump at y=-3 radiates gravity waves at c = sqrt(gH) ~ 3.13;
+    the downward front hits y=-5 at t ~ 0.64. By t = 1.2 the front has
+    (periodic) wrapped to y ~ +3.2 moving down, or (bounded) REFLECTED to
+    y ~ -3.2 moving up. Assert the wavefront is in the right band in each
+    run — not merely that the runs differ (a wall that damped the wave
+    would also differ, but leaves both bands empty)."""
     N = 64
     ic = dict(h=lambda x, y: 1.0 + 0.05 * jnp.exp(-4 * (x**2 + (y + 3)**2)))
     outs = {}
@@ -72,10 +76,25 @@ def test_gravity_wave_reflects_not_wraps():
                                   mass_advection="centered2",
                                   tracer_advection="centered2")
         state = model.initial_state(**ic)
-        outs[topo[1]] = jax.jit(model.step_fn(2e-3, 300))(state)
-    # by t=0.6 the wave from y=-3 has hit the wall at y=-5 in the bounded
-    # run; the two runs must have visibly diverged near the far boundary
-    hp = np.asarray(outs["periodic"].h)
-    hb = np.asarray(outs["bounded"].h)
-    assert np.max(np.abs(hp - hb)) > 1e-4
-    assert np.isfinite(hb).all()
+        outs[topo[1]] = jax.jit(model.step_fn(2e-3, 600))(state)
+
+    g = Grid.regular(N, N, (-L / 2, L / 2), (-L / 2, L / 2),
+                     dtype=jnp.float64)
+    _, Yc = (np.asarray(a) for a in g.nodes("cc"))
+
+    def band_anomaly(h, lo, hi):
+        mask = (Yc >= lo) & (Yc <= hi)
+        return float(np.mean(np.abs(np.asarray(h) - 1.0)[mask]))
+
+    hp, hb = outs["periodic"].h, outs["bounded"].h
+    # wrapped front (periodic only) sits near y ~ +3.2; the bounded run
+    # must have essentially NOTHING there (measured: 1.6e-3 vs 3.5e-8)
+    assert band_anomaly(hp, 2.5, 4.0) > 100 * band_anomaly(hb, 2.5, 4.0)
+    # reflected front boosts the bounded run's near-wall band above the
+    # periodic run's dispersive tail (measured: 2.4e-3 vs 1.5e-3)
+    assert band_anomaly(hb, -4.0, -2.5) > 1.3 * band_anomaly(hp, -4.0, -2.5)
+    # free-slip rigid wall reflects a positive bump with positive sign
+    refl = np.asarray(hb) - 1.0
+    mask = (Yc >= -4.0) & (Yc <= -2.5)
+    assert refl[mask].max() > 0.3 * np.abs(refl[mask]).max()
+    assert np.isfinite(np.asarray(hb)).all()
