@@ -1,0 +1,72 @@
+"""Worker for the 2-process multi-host CPU test (run by test_multihost.py).
+
+Each process forces 2 CPU devices, joins a jax.distributed cluster over
+localhost, builds the 2x2 pod mesh spanning both processes, runs a sharded
+step, and checks its addressable shards against a locally-computed
+single-device reference. Prints MULTIHOST-OK on success.
+
+Usage: python tests/multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from swmhd_tpu.parallel import multihost  # noqa: E402
+from swmhd_tpu.parallel.decomposition import DomainDecomposition  # noqa: E402
+from swmhd_tpu import scenarios  # noqa: E402
+
+
+def main():
+    multihost.initialize(coordinator_address=f"localhost:{port}",
+                         num_processes=nproc, process_id=proc_id)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.local_devices()) == 2
+    assert len(jax.devices()) == 2 * nproc
+
+    mesh = multihost.make_pod_mesh((2, 2))
+    assert mesh.shape == {"x": 2, "y": 2}
+
+    model, state, _ = scenarios.build("64x64_two_Gaussians_high_B",
+                                      dtype=jnp.float64)
+    dd = DomainDecomposition(model, mesh)
+    sharded = dd.shard_state(state)
+    out = jax.jit(dd.step_fn(0.01, 5))(sharded)
+    ref = jax.jit(model.step_fn(0.01, 5))(state)
+
+    # every addressable shard must equal the single-device slice exactly
+    for name in ("h", "u", "v", "A"):
+        garr = getattr(out, name)
+        want = np.asarray(getattr(ref, name))
+        n_checked = 0
+        for shard in garr.addressable_shards:
+            np.testing.assert_allclose(np.asarray(shard.data),
+                                       want[shard.index],
+                                       rtol=1e-12, atol=1e-13,
+                                       err_msg=f"{name} shard {shard.index}")
+            n_checked += 1
+        assert n_checked == 2, n_checked  # 2 local devices
+
+    # host-local I/O slab covers exactly this process's shards
+    (x0, x1), (y0, y1) = multihost.process_local_slab(mesh, 64, 64)
+    assert 0 <= x0 < x1 <= 64 and 0 <= y0 < y1 <= 64
+    area = (x1 - x0) * (y1 - y0)
+    assert area == 64 * 64 // nproc, (area, nproc)
+
+    print("MULTIHOST-OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
