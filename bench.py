@@ -1,23 +1,37 @@
 """Headline benchmark: grid-points/s/chip for the SWMHD RK3 step.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 The reference publishes no wall-time numbers (BASELINE.md), so the honest
 baseline is the hardware roofline. BASELINE.json's stencil target is
 ">= 80% of HBM bandwidth-of-light", but the fully-fused WENO5 SWMHD step
-is COMPUTE-bound, not bandwidth-bound: it does ~3.0 kflop per point per
-step against a 96 B/pt minimum traffic (arithmetic intensity ~31 flop/B,
-far above the v5e's ~4.3 flop/B machine balance). The binding roofline is
-therefore min(VPU-limit, HBM-limit) points/s, and ``vs_baseline`` is
+is COMPUTE-bound, not bandwidth-bound: it does ~3 kflop per point per
+step against a 96 B/pt minimum traffic (arithmetic intensity ~30 flop/B,
+far above the v5e's ~4.3 flop/B machine balance; derivation in
+PERFORMANCE.md §roofline). The binding roofline is min(VPU-limit,
+HBM-limit) points/s and ``vs_baseline`` is
 achieved / (0.80 * binding_roofline) — 1.0 means the 80%-of-roofline
-target is met. Both raw fractions are also emitted.
+target is met. Both raw fractions are emitted, plus the round-1
+comparability ratio achieved/1e7 (an order-of-magnitude estimate of a
+reference-class single-CPU throughput, PERFORMANCE.md) as
+``vs_reference_cpu_estimate``.
+
+``flops_per_point`` is MEASURED at run time from XLA's cost analysis of
+this build's own unfused step graph at 512² (flops/pt is size-independent
+for periodic topology), so discretisation changes re-derive the roofline
+denominator instead of inheriting a stale constant. Provenance caveat:
+XLA counts the operations the current graph performs — redundant flops in
+the discretisation inflate the apparent roofline fraction; the measured
+value and the graph it came from are recorded alongside the metric.
 
 Environment knobs:
   SWMHD_BENCH_N      grid size (default 2048)
   SWMHD_BENCH_FUSED  "0" -> force the unfused XLA path ("1" default on
                      TPU: the fused Pallas substage kernels, persistently
                      cached after first compile)
+  SWMHD_BENCH_LADDER comma-separated extra sizes to bench and report in
+                     a "ladder" field (e.g. "512,4096")
 """
 
 import json
@@ -29,10 +43,9 @@ import jax.numpy as jnp
 
 TARGET_FRACTION = 0.80  # of the binding roofline (BASELINE.json target)
 
-# Algebraic work of one RK3 step of this discretisation (flops/point),
-# from XLA's cost analysis of the unfused step graph at 2048^2
-# (PERFORMANCE.md): 1.25e10 flops / 2048^2 points.
-FLOPS_PER_POINT = 2990.0
+# Round-1 comparability constant: order-of-magnitude single-CPU
+# throughput of a reference-class (Oceananigans CPU) run, PERFORMANCE.md.
+REFERENCE_CPU_POINTS_PER_S = 1e7
 
 # Minimum HBM traffic: 3 substages x (read+write 4 prognostics) x 4 B.
 BYTES_PER_POINT = 96.0
@@ -57,9 +70,38 @@ def build(N=2048, dtype=jnp.float32):
     return model, state
 
 
+def measure_flops_per_point(probe_N=512):
+    """flops/point of ONE RK3 step, from XLA's cost analysis of the
+    current unfused step graph (the same discretisation the fused kernel
+    executes). Returns None if cost analysis is unavailable."""
+    try:
+        model, state = build(probe_N)
+        lowered = jax.jit(model.step_fn(0.001, 1)).lower(state)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost["flops"])
+        return flops / (probe_N * probe_N)
+    except Exception:
+        return None
+
+
+def bench_one(N, use_fused, steps_per_call=10, n_calls=5):
+    from swmhd_tpu.profiling import benchmark_step
+    model, state = build(N)
+    if use_fused:
+        from swmhd_tpu.ops.fused_step import fused_step_fn
+        step = jax.jit(fused_step_fn(model, 0.001, steps_per_call))
+        path = "fused-pallas"
+    else:
+        step = jax.jit(model.step_fn(0.001, steps_per_call))
+        path = "xla"
+    b = benchmark_step(step, state, steps_per_call, n_calls=n_calls)
+    return b, path
+
+
 def main():
-    from swmhd_tpu.profiling import (
-        benchmark_step, detect_hbm_peak, detect_vpu_peak)
+    from swmhd_tpu.profiling import detect_hbm_peak, detect_vpu_peak
     from swmhd_tpu.ops.fused_step import pallas_available
 
     jax.config.update("jax_compilation_cache_dir",
@@ -70,45 +112,60 @@ def main():
     N = int(os.environ.get("SWMHD_BENCH_N", "2048"))
     default_fused = "1" if pallas_available() else "0"
     use_fused = os.environ.get("SWMHD_BENCH_FUSED", default_fused) == "1"
-    steps_per_call = 10
-    model, state = build(N)
 
-    if use_fused:
-        from swmhd_tpu.ops.fused_step import fused_step_fn
-        step = jax.jit(fused_step_fn(model, 0.001, steps_per_call))
-        path = "fused-pallas"
+    bench, path = bench_one(N, use_fused)
+    flops_pt = measure_flops_per_point()
+
+    hbm_peak, vpu_peak = detect_hbm_peak(), detect_vpu_peak()
+    have_roofline = (hbm_peak is not None and vpu_peak is not None
+                     and flops_pt is not None)
+    if have_roofline:
+        hbm_limit = hbm_peak * 1e9 / BYTES_PER_POINT       # pts/s
+        vpu_limit = vpu_peak * 1e9 / flops_pt              # pts/s
+        binding = "VPU compute" if vpu_limit < hbm_limit else "HBM bandwidth"
+        roofline = min(hbm_limit, vpu_limit)
+        metric = (f"grid-points/s/chip (SWMHD RK3 step, {N}^2 f32, WENO5-Z "
+                  f"vector-invariant + jacobian Lorentz, {path} path; "
+                  f"vs_baseline = achieved / (0.80 x binding roofline = "
+                  f"{binding} limit at the measured "
+                  f"{flops_pt:.0f} flop/pt, AI "
+                  f"{flops_pt / BYTES_PER_POINT:.1f} flop/B))")
     else:
-        step = jax.jit(model.step_fn(0.001, steps_per_call))
-        path = "xla"
-
-    bench = benchmark_step(step, state, steps_per_call, n_calls=5)
+        metric = (f"grid-points/s/chip (SWMHD RK3 step, {N}^2 f32, WENO5-Z "
+                  f"vector-invariant + jacobian Lorentz, {path} path; "
+                  f"no TPU roofline detectable on this backend — "
+                  f"vs_baseline is null)")
 
     out = {
-        "metric": f"grid-points/s/chip (SWMHD RK3 step, {N}^2 f32, WENO5 "
-                  f"vector-invariant + jacobian Lorentz, {path} path; "
-                  f"vs_baseline = achieved / (0.80 x binding roofline, "
-                  f"which is the VPU compute limit for this "
-                  f"arithmetic-intensity-31 step))",
+        "metric": metric,
         "value": round(bench.points_per_s, 1),
         "unit": "points/s",
     }
-    hbm_peak, vpu_peak = detect_hbm_peak(), detect_vpu_peak()
-    if hbm_peak is not None and vpu_peak is not None:
-        hbm_limit = hbm_peak * 1e9 / BYTES_PER_POINT       # pts/s
-        vpu_limit = vpu_peak * 1e9 / FLOPS_PER_POINT       # pts/s
-        roofline = min(hbm_limit, vpu_limit)
+    if have_roofline:
         out["vs_baseline"] = round(
             bench.points_per_s / (TARGET_FRACTION * roofline), 4)
-        out["fraction_of_roofline"] = round(
-            bench.points_per_s / roofline, 4)
+        out["fraction_of_roofline"] = round(bench.points_per_s / roofline, 4)
+        out["binding_limit"] = binding
         out["hbm_fraction_of_light"] = round(
             bench.points_per_s / hbm_limit, 4)
         out["vpu_fraction_of_peak"] = round(
             bench.points_per_s / vpu_limit, 4)
         out["hbm_gbps_at_min_traffic"] = round(
             bench.points_per_s * BYTES_PER_POINT / 1e9, 1)
+        out["flops_per_point_measured"] = round(flops_pt, 1)
     else:  # non-TPU backend: no roofline to compare against
-        out["vs_baseline"] = 0.0
+        out["vs_baseline"] = None
+    out["vs_reference_cpu_estimate"] = round(
+        bench.points_per_s / REFERENCE_CPU_POINTS_PER_S, 2)
+
+    ladder = os.environ.get("SWMHD_BENCH_LADDER")
+    if ladder:
+        out["ladder"] = {}
+        for sz in ladder.split(","):
+            sz = int(sz)
+            b2, _ = bench_one(sz, use_fused)
+            out["ladder"][str(sz)] = round(b2.points_per_s, 1)
+
     print(json.dumps(out))
 
 

@@ -227,19 +227,46 @@ def _weno5_right(c, sh):
     return _weno_combine((p0, p1, p2), (b0, b1, b2))
 
 
+# Nonlinear weight flavor. The reference's Oceananigans vintage (the one
+# providing ``WENO5(vector_invariant = VelocityStencil())``,
+# SWMHD_example.jl:24) computes its nonlinear weights in WENO-Z form
+# (Borges et al. 2008): a_k = gamma_k * (1 + (tau5/(beta_k+eps))^2) with
+# tau5 = |beta0 - beta2|. This is empirically decisive for matching the
+# reference's recorded conservation envelopes: on the 64^2 low_B_low_U
+# scenario classic Jiang-Shu weights over-dissipate the wound-up magnetic
+# potential (total-energy deviation 3.5 vs the recorded 0.78, reference-
+# style functionals) while Z-weights reproduce the reference's signature
+# non-monotone deviation curve and final KE/ME (1.9; ME_end 0.304 vs
+# recorded 0.313) — see benchmarks/exp/r3_wenoz.py and VALIDATION.md.
+# SWMHD_WENO_WEIGHTS=js restores classic Jiang & Shu.
+_WENO_Z = os.environ.get("SWMHD_WENO_WEIGHTS", "z") == "z"
+
 # Divide-free weight evaluation: multiply the nonlinear-weight numerators
-# and the normalisation by ((b0+eps)(b1+eps)(b2+eps))^2, turning the classic
-# a_k = gamma_k/(b_k+eps)^2 (3 divides) + normalisation (1 divide) into
-# 1 divide + a handful of multiplies. Algebraically the same rational
-# function as the Jiang & Shu form; floating-point results differ at
-# roundoff only. TPU VPU divides cost several multiply-passes, so this is
-# a large fraction of WENO runtime. SWMHD_WENO_RATIONAL=0 restores the
-# textbook evaluation.
+# and the normalisation by (b0+eps)^2 (b1+eps)^2 (b2+eps)^2, turning the
+# 3 divides + normalisation divide into 1 divide + a handful of
+# multiplies. Algebraically the same rational function; floating-point
+# results differ at roundoff only. TPU VPU divides cost several
+# multiply-passes, so this is a large fraction of WENO runtime.
+# SWMHD_WENO_RATIONAL=0 restores the textbook evaluation.
 _WENO_RATIONAL = os.environ.get("SWMHD_WENO_RATIONAL", "1") == "1"
 
 
 def _weno_combine(ps, betas, betas_external=None):
     b = betas_external if betas_external is not None else betas
+    if _WENO_Z:
+        tau2 = (b[0] - b[2]) ** 2         # tau5^2; |.|^2 needs no abs
+        if _WENO_RATIONAL:
+            q0 = (b[0] + _WENO_EPS) ** 2
+            q1 = (b[1] + _WENO_EPS) ** 2
+            q2 = (b[2] + _WENO_EPS) ** 2
+            a0 = _GAMMA[0] * (q0 + tau2) * (q1 * q2)
+            a1 = _GAMMA[1] * (q1 + tau2) * (q0 * q2)
+            a2 = _GAMMA[2] * (q2 + tau2) * (q0 * q1)
+            return (a0 * ps[0] + a1 * ps[1] + a2 * ps[2]) / (a0 + a1 + a2)
+        a0 = _GAMMA[0] * (1.0 + tau2 / (b[0] + _WENO_EPS) ** 2)
+        a1 = _GAMMA[1] * (1.0 + tau2 / (b[1] + _WENO_EPS) ** 2)
+        a2 = _GAMMA[2] * (1.0 + tau2 / (b[2] + _WENO_EPS) ** 2)
+        return (a0 * ps[0] + a1 * ps[1] + a2 * ps[2]) / (a0 + a1 + a2)
     if _WENO_RATIONAL:
         q0 = (b[0] + _WENO_EPS) ** 2
         q1 = (b[1] + _WENO_EPS) ** 2

@@ -124,6 +124,51 @@ def cfl_numbers(model, state, dt):
     return adv * dt, wave * dt
 
 
+def reference_kinetic_energy(u, v, h, grid: Grid):
+    """∫ ½ h (u²+v²) with staggered fields read index-aligned (no
+    interpolation) — mirroring the reference's lazy-expression functional
+    `mean((1/2)*h*(u^2+v^2))*Lx*Ly` (SWMHD_example.jl:74) as evaluated
+    over C-grid indices. For smooth fields this differs from
+    :func:`kinetic_energy` at O(Δ²); for grid-scale structure the
+    interpolated form systematically undercounts (the difference reached
+    2.5 deviation units on the 64² low_B_low_U run — see VALIDATION.md),
+    so validation against the recorded envelopes must use this form."""
+    return _integral(0.5 * h * (u * u + v * v), grid)
+
+
+def reference_magnetic_energy(A, h, grid: Grid, A_bg_grad_y: float = 0.0):
+    """∫ ½ h (Bx²+By²) with Bx = −∂yA/h read at (c,f), By = ∂xA/h at
+    (f,c), squared in place and h read index-aligned — the reference's
+    `B_x = -∂y(A)/h` derived-field diagnostic (SWMHD_example.jl:70-71,75)
+    without relocation. Equals ∫ ½ |∇A|²/h on the staggered points."""
+    dyA = op.ddy_f(A, grid) + A_bg_grad_y
+    dxA = op.ddx_f(A, grid)
+    return _integral(0.5 * (dyA * dyA + dxA * dxA) / h, grid)
+
+
+def reference_energy_report(model, state, h0):
+    """Scalar energies in the reference's own (index-aligned) functional
+    convention — the apples-to-apples quantities for comparing against
+    the recorded energy_plots/*.png baselines."""
+    g = model.grid
+    gamma = getattr(model, "A_background_gradient_y", 0.0)
+    if getattr(model, "formulation", "") == "conservative":
+        # mean(½(1/h)(uh²+vh²)) — divergence_sw_mhd.jl:71
+        uh, vh = state.u, state.v
+        ke = _integral(0.5 * (uh * uh + vh * vh) / state.h, g)
+    else:
+        u, v = model.velocities(state)
+        ke = reference_kinetic_energy(u, v, state.h, g)
+    me = reference_magnetic_energy(state.A, state.h, g, gamma)
+    pe = potential_energy(state.h, h0, model.gravitational_acceleration, g)
+    return {
+        "kinetic_energy": ke,
+        "magnetic_energy": me,
+        "potential_energy": pe,
+        "total_energy": ke + me + pe,
+    }
+
+
 def energy_report(model, state, h0):
     """All scalar diagnostics in one jit-friendly dict."""
     g = model.grid

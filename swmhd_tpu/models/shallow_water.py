@@ -325,10 +325,33 @@ class ShallowWaterModel:
 
     def _weno_vorticity_flux(self, u, v, zeta, g):
         """WENO5 upwinded vorticity flux with VelocityStencil/VorticityStencil
-        weight selection (SWMHD_example.jl:24, SURVEY §7.3 hard-part #1)."""
+        weight selection (SWMHD_example.jl:24, SURVEY §7.3 hard-part #1).
+
+        The scheme is the upwinded vector-invariant WENO of Silvestri &
+        Wagner ("A new WENO-based momentum advection scheme...", the
+        scheme Oceananigans ships as ``WENO5(vector_invariant =
+        VelocityStencil())``): ζ (at (f,f)) is reconstructed with biased
+        WENO candidate stencils onto the flux point, the branch is
+        selected by the sign of the 4-pt-interpolated transverse
+        velocity, and — the VelocityStencil part — the nonlinear weights
+        come not from ζ's own smoothness but from the smoothness of the
+        velocity components interpolated to ζ's staggering, averaged:
+        β_k = (β_k(ū) + β_k(v̄))/2 with ū = ℑyᶠ(u), v̄ = ℑxᶠ(v) at (f,f).
+        Provenance: derived from the published scheme description (the
+        Oceananigans source itself is not retrievable in this
+        environment); pinned by tests/test_velocity_stencil.py and by the
+        recorded-scenario envelopes (VALIDATION.md)."""
         use_velocity = self.vector_invariant_stencil == VELOCITY_STENCIL
         shx = lambda a, n: op.shift_x(a, n, g)
         shy = lambda a, n: op.shift_y(a, n, g)
+        if use_velocity:
+            u_ff = op.iy_f(u, g)   # u interpolated to (f,f)
+            v_ff = op.ix_f(v, g)   # v interpolated to (f,f)
+
+        def avg_betas(beta_fn, a, b, sh):
+            ba = beta_fn(a, sh)
+            bb = beta_fn(b, sh)
+            return tuple(0.5 * (x + y) for x, y in zip(ba, bb))
 
         # u-equation: reconstruct ζ (at (f,f)) along y onto (f,c).
         # center-from-faces recon at j == face-form recon at j+1.
@@ -336,12 +359,9 @@ class ShallowWaterModel:
         pl_ = weno_candidates_left(zeta_y, shy)
         pr = weno_candidates_right(zeta_y, shy)
         if use_velocity:
-            # weights from the transverse velocity's smoothness on the same
-            # y-substencils; v̂ at (f,f) aligns with ζ's staggering in y
-            v_ff = op.ix_f(v, g)
-            v_y = shy(v_ff, 1)
-            bl = weno_betas_left(v_y, shy)
-            br = weno_betas_right(v_y, shy)
+            u_y, v_y = shy(u_ff, 1), shy(v_ff, 1)
+            bl = avg_betas(weno_betas_left, u_y, v_y, shy)
+            br = avg_betas(weno_betas_right, u_y, v_y, shy)
         else:
             bl = weno_betas_left(zeta_y, shy)
             br = weno_betas_right(zeta_y, shy)
@@ -355,10 +375,9 @@ class ShallowWaterModel:
         pl_ = weno_candidates_left(zeta_x, shx)
         pr = weno_candidates_right(zeta_x, shx)
         if use_velocity:
-            u_ff = op.iy_f(u, g)
-            u_x = shx(u_ff, 1)
-            bl = weno_betas_left(u_x, shx)
-            br = weno_betas_right(u_x, shx)
+            u_x, v_x = shx(u_ff, 1), shx(v_ff, 1)
+            bl = avg_betas(weno_betas_left, u_x, v_x, shx)
+            br = avg_betas(weno_betas_right, u_x, v_x, shx)
         else:
             bl = weno_betas_left(zeta_x, shx)
             br = weno_betas_right(zeta_x, shx)

@@ -120,6 +120,30 @@ def _make_kernel_roll(interpret: bool):
     return roll
 
 
+def _vmem_limit_bytes():
+    """Scoped-VMEM limit for the fused kernel, by device generation.
+
+    The unrolled tendency's live set (~82 MB at Tx=32, Ny=2048 with
+    double-buffered windows) exceeds Mosaic's default scoped limit, so on
+    generations with 128 MiB physical VMEM per core (v4/v5e/v5p/v6e) the
+    limit is raised to 114 MiB. Older 16 MiB-class generations (v2/v3)
+    keep the compiler default rather than inheriting a v5e constant."""
+    import os
+    env = os.environ.get("SWMHD_VMEM_LIMIT_MB")
+    if env:
+        return int(env) * 2 ** 20
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover
+        kind = ""
+    # tunneled/relay PJRT clients may not report a kind; fall back to the
+    # generation env some harnesses provide
+    kind = kind or os.environ.get("PALLAS_AXON_TPU_GEN", "").lower()
+    if any(t in kind for t in ("v4", "v5", "v6")):
+        return 114 * 2 ** 20
+    return None
+
+
 def default_tile_x(Nx: int, Ny: int, halo: int = DEFAULT_HALO,
                    vmem_budget: int = 12 * 2 ** 20,
                    live_windows: int = 24) -> int:
@@ -135,17 +159,20 @@ def default_tile_x(Nx: int, Ny: int, halo: int = DEFAULT_HALO,
     return t
 
 
-def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
-                  tile_x: int | None = None, halo: int | None = None,
-                  interpret: bool = False):
-    """Jittable ``state -> state`` advancing ``n_steps`` fused RK3 steps.
+def build_fused_calls(model: ShallowWaterModel, dt: float,
+                      tile_x: int | None = None, halo: int | None = None,
+                      interpret: bool = False):
+    """The three per-substage Pallas calls plus their geometry.
 
-    Requirements: doubly-periodic topology; ``tile_x`` ≡ 0 (mod 8)
-    dividing Nx. ``halo`` (default 8) must be >= the composed per-substage
-    stencil radius (6) and 8-aligned."""
+    Each call maps x-PADDED fields (Nx+2H, Ny) (+ G_prev tiles after the
+    first substage) -> x-padded updated fields (+ G tiles): rows
+    [H, H+Nx) of the outputs carry the Le-Moin update wherever the input
+    pad rows carried valid neighbor data; rows [0,H) and [Nx+H, Nx+2H)
+    are additionally written with the periodic wrap of the interior (the
+    single-chip fast path feeds substages back-to-back without an XLA
+    re-pad; a sharded caller crops them and re-exchanges instead).
+    Returns (calls, Tx, H)."""
     g = model.grid
-    if g.topology_x != PERIODIC or g.topology_y != PERIODIC:
-        raise ValueError("fused step supports periodic topology only")
 
     H = DEFAULT_HALO if halo is None else halo
     if H < SUBSTAGE_RADIUS:
@@ -305,11 +332,10 @@ def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
                      + ((tile_shape,) * 4 if write_G else ()))
         kwargs = {}
         if not interpret:
-            # v5e VMEM is physically 128 MiB; the default scoped limit
-            # rejects the unrolled tendency's live set (~82 MB at Tx=32,
-            # Ny=2048 with double-buffered windows).
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=114 * 2 ** 20)
+            limit = _vmem_limit_bytes()
+            if limit:
+                kwargs["compiler_params"] = pltpu.CompilerParams(
+                    vmem_limit_bytes=limit)
         return pl.pallas_call(
             make_kernel(gamma, zeta, write_G),
             grid=grid_dims,
@@ -330,6 +356,21 @@ def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
     calls = [make_call(RK3_GAMMA[0], RK3_ZETA[0], True),
              make_call(RK3_GAMMA[1], RK3_ZETA[1], True),
              make_call(RK3_GAMMA[2], RK3_ZETA[2], False)]
+    return calls, Tx, H
+
+
+def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
+                  tile_x: int | None = None, halo: int | None = None,
+                  interpret: bool = False):
+    """Jittable ``state -> state`` advancing ``n_steps`` fused RK3 steps.
+
+    Requirements: doubly-periodic topology; ``tile_x`` ≡ 0 (mod 8)
+    dividing Nx. ``halo`` (default 8) must be >= the composed per-substage
+    stencil radius (6) and 8-aligned."""
+    g = model.grid
+    if g.topology_x != PERIODIC or g.topology_y != PERIODIC:
+        raise ValueError("fused step supports periodic topology only")
+    calls, Tx, H = build_fused_calls(model, dt, tile_x, halo, interpret)
 
     def pad(f):
         return jnp.concatenate([f[-H:], f, f[:H]], axis=0)

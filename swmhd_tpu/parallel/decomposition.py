@@ -273,6 +273,92 @@ class DomainDecomposition:
             G_prev = G
         return (*fields, t + dt, it + 1)
 
+    # -- fused (Pallas) sharded step ---------------------------------------------
+
+    def fused_step_fn(self, dt, n_steps: int = 1, interpret: bool = False,
+                      tile_x: Optional[int] = None):
+        """Sharded stepper whose per-substage tendency+update runs the
+        fused Pallas kernel on each exchanged padded tile (BASELINE
+        ladder rung 4: multi-chip grids with fast stencils).
+
+        Per RK3 substage: ppermute halo exchange (width ``halo``, must be
+        8-aligned for Mosaic DMA alignment and ≥ the composed substage
+        radius), then ONE `ops.fused_step.build_fused_calls` kernel over
+        the padded tile — the tile plays the role the global array plays
+        on a single chip: the kernel's own x-window pad is carved from
+        the exchanged ring (He == the kernel's H), its periodic y-rolls
+        wrap the padded width so garbage enters only a ring < substage
+        radius wide at the pad edge, and the crop back to the unpadded
+        tile discards it. Arithmetic per interior point is identical to
+        the single-device fused path (tests/test_parallel.py pins
+        sharded-fused == single-device-XLA in interpret mode).
+
+        Requires doubly-periodic topology (the fused kernel's
+        restriction) and nx % 8 == 0 per tile."""
+        from ..ops.fused_step import (
+            build_fused_calls, DEFAULT_HALO, SUBSTAGE_RADIUS)
+
+        g = self.model.grid
+        if g.topology_x != PERIODIC or g.topology_y != PERIODIC:
+            raise ValueError("fused sharded step: periodic topology only")
+        He = self.halo
+        if He % 8 or He < SUBSTAGE_RADIUS:
+            raise ValueError(
+                f"fused sharded step needs an 8-aligned halo >= "
+                f"{SUBSTAGE_RADIUS} (got {He}); construct the "
+                f"DomainDecomposition with halo=8")
+        nx, ny = self.nx, self.ny
+        # Mosaic HBM window DMAs require the minor (lane) dim of the
+        # sliced memref 128-aligned; round the padded tile width up with
+        # dead columns. The kernel's periodic y-rolls then wrap garbage
+        # into a ring < substage-radius wide at BOTH pad edges; the crop
+        # margin He (>= 8 > 6) keeps the interior clear of it.
+        LANE = 128
+        ny_pad = ny + 2 * He
+        ny_k = ((ny_pad + LANE - 1) // LANE) * LANE
+        # the kernel's "global" grid is the unpadded tile extent in x and
+        # the PADDED extent in y (full rows resident per window)
+        tile_grid = dataclasses.replace(
+            g, Nx=nx, Ny=ny_k, Lx=g.dx * nx, Ly=g.dy * ny_k)
+        tile_model = dataclasses.replace(self.model, grid=tile_grid)
+        calls, Tx, Hk = build_fused_calls(
+            tile_model, dt, tile_x=tile_x, halo=He, interpret=interpret)
+        assert Hk == He
+
+        def local_step(h, u, v, A, t, it):
+            fields = (h, u, v, A)
+            G_prev = ()
+            for call in calls:
+                padded = [jnp.pad(self._pad(f),
+                                  ((0, 0), (0, ny_k - ny_pad)))
+                          for f in fields]
+                tarr = t.reshape(1).astype(g.dtype)
+                out = call(tarr, *padded, *G_prev)
+                fields = tuple(f[He:He + nx, He:He + ny] for f in out[:4])
+                G_prev = out[4:]
+            return (*fields, t + dt, it + 1)
+
+        fspec = self.field_spec
+
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(fspec, fspec, fspec, fspec, P(), P()),
+                 out_specs=(fspec, fspec, fspec, fspec, P(), P()),
+                 check_vma=False)
+        def sharded_steps(h, u, v, A, t, it):
+            def body(carry, _):
+                return local_step(*carry), None
+            out, _ = jax.lax.scan(body, (h, u, v, A, t, it), None,
+                                  length=n_steps)
+            return out
+
+        def fn(state: State) -> State:
+            h, u, v, A, t, it = sharded_steps(
+                state.h, state.u, state.v, state.A,
+                state.clock.time, state.clock.iteration)
+            return State(h=h, u=u, v=v, A=A,
+                         clock=Clock(time=t, iteration=it))
+        return fn
+
     # -- public step -----------------------------------------------------------------
 
     def step_fn(self, dt, n_steps: int = 1, diagnostics=None):

@@ -63,3 +63,53 @@ def test_fused_multi_tile():
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
             rtol=1e-12, atol=1e-12, err_msg=name)
+
+
+def test_fused_four_tiles_steady_state_dma():
+    """>= 4 x-windows so the double-buffered DMA pipeline's steady-state
+    branches run: the (i >= 2) write-wait and the 0 < i < last prefetch
+    never execute with only 2 tiles (advisor r2 finding) — an off-by-one
+    in semaphore accounting there would ship undetected."""
+    model, state = build(VECTOR_INVARIANT, N=128)
+    dt = 0.005
+    ref = jax.jit(model.step_fn(dt, 1))(state)
+    fused = fused_step_fn(model, dt, n_steps=1, tile_x=32, halo=8,
+                          interpret=True)
+    out = fused(state)
+    for name in ("h", "u", "v", "A"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-12, atol=1e-12, err_msg=name)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-TPU fused==XLA equality (VERDICT r2 item 6)")
+@pytest.mark.parametrize("mosaic_roll", ["0", "1"])
+def test_fused_matches_xla_on_tpu(monkeypatch, mosaic_roll):
+    """f32-roundoff agreement of the compiled fused path against the XLA
+    path on actual hardware, over 10 steps at 256^2, for both roll
+    lowerings — so the bench path is continuously verified on the
+    hardware it benches."""
+    monkeypatch.setenv("SWMHD_MOSAIC_ROLL", mosaic_roll)
+    g = Grid.regular(256, 256, (-L / 2, L / 2), (-L / 2, L / 2),
+                     dtype=jnp.float32)
+    model = ShallowWaterModel(grid=g, formulation=VECTOR_INVARIANT,
+                              coriolis=FPlane(1.0),
+                              forcing=jacobian_lorentz_forcing())
+    state = model.initial_state(
+        u=lambda x, y: 5 * y * jnp.exp(-(x**2 + y**2)),
+        v=lambda x, y: -5 * x * jnp.exp(-(x**2 + y**2)),
+        h=lambda x, y: 1.0 + 0.05 * jnp.exp(-(x**2 + y**2)),
+        A=lambda x, y: 0.5 * jnp.exp(-((x - 0.5)**2 + y**2))
+        - 0.5 * jnp.exp(-((x + 0.5)**2 + y**2)))
+    dt = 0.005
+    ref = jax.jit(model.step_fn(dt, 10))(state)
+    out = jax.jit(fused_step_fn(model, dt, n_steps=10))(state)
+    for name in ("h", "u", "v", "A"):
+        a = np.asarray(getattr(out, name), dtype=np.float64)
+        b = np.asarray(getattr(ref, name), dtype=np.float64)
+        scale = np.max(np.abs(b)) + 1e-30
+        assert np.max(np.abs(a - b)) / scale < 2e-5, (
+            f"{name}: fused deviates from XLA on TPU by "
+            f"{np.max(np.abs(a - b)) / scale:.2e} (mosaic_roll="
+            f"{mosaic_roll})")

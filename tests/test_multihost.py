@@ -24,11 +24,27 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_sharded_step():
+    # worker communicate() below enforces its own 240 s timeout
     port = _free_port()
+    # A clean CPU-only environment: strip XLA device-count flags AND any
+    # TPU-plugin wiring (an axon/libtpu sitecustomize eagerly creates the
+    # PJRT client at interpreter startup, before jax.distributed can
+    # install the coordination service — the worker would then report
+    # process_count()==1 forever).
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                        "PALLAS_AXON_TPU_GEN", "AXON_LOOPBACK_RELAY",
+                        "TPU_SKIP_MDS_QUERY")}
+    if "PYTHONPATH" in env:
+        parts = [p for p in env["PYTHONPATH"].split(os.pathsep)
+                 if p and "axon" not in p.lower()]
+        if parts:
+            env["PYTHONPATH"] = os.pathsep.join(parts)
+        else:
+            del env["PYTHONPATH"]
+    env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen([sys.executable, WORKER, str(i), "2", str(port)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,

@@ -249,3 +249,29 @@ def test_halo_pad_matches_global_roll():
     want = np.asarray(jnp.roll(glob, (H, H), axis=(0, 1)))[
         0:nx + 2 * H, 0:ny + 2 * H]
     np.testing.assert_array_equal(tile00, want)
+
+
+@pytest.mark.parametrize("formulation", [VECTOR_INVARIANT, CONSERVATIVE])
+def test_sharded_fused_matches_single_device(formulation):
+    """The fused Pallas substage kernel running per-tile inside shard_map
+    (interpret mode) == the single-device XLA step (VERDICT r2 item 3 —
+    BASELINE ladder rung 4's fast path)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    model, state = build(formulation, N=64)
+    n_steps = 3
+    dt = 0.01
+
+    ref = jax.jit(model.step_fn(dt, n_steps))(state)
+
+    mesh = make_mesh(shape=(2, 2))
+    dd = DomainDecomposition(model, mesh, halo=8)
+    sharded0 = dd.shard_state(state)
+    out = jax.jit(dd.fused_step_fn(dt, n_steps, interpret=True))(sharded0)
+
+    for name in ("h", "u", "v", "A"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(jax.device_get(getattr(out, name)))
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"fused-sharded {name}")
+    assert float(out.clock.time) == pytest.approx(n_steps * dt)
