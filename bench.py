@@ -158,7 +158,14 @@ def main():
     out["vs_reference_cpu_estimate"] = round(
         bench.points_per_s / REFERENCE_CPU_POINTS_PER_S, 2)
 
-    ladder = os.environ.get("SWMHD_BENCH_LADDER")
+    if bench.rel_spread is not None:
+        out["rel_spread"] = round(bench.rel_spread, 4)
+
+    # BASELINE config ladder (VERDICT r2 item 10): bench >=3 sizes by
+    # default on TPU (512^2 and 4096^2 single-chip alongside the 2048^2
+    # headline). SWMHD_BENCH_LADDER overrides; "" disables.
+    default_ladder = "512,4096" if have_roofline else ""
+    ladder = os.environ.get("SWMHD_BENCH_LADDER", default_ladder)
     if ladder:
         out["ladder"] = {}
         for sz in ladder.split(","):

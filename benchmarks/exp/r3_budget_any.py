@@ -1,25 +1,30 @@
-"""Term-by-term discrete energy budget for the 64^2 low_B_low_U miss.
+"""Term-by-term discrete energy budget, generalized to any vector-invariant
+scenario (env SCENARIO, default 128x128_two_Gaussians_low_B).
 
-P_term = < dE/d(state), G_term >  via jax.grad of the energy functional.
-Accumulated over the run, sum(P_term * dt) attributes the total-energy
-loss to individual tendency terms (vorticity flux, KE gradient+gravity,
-coriolis, Lorentz forcing, tracer advection, background source).
+P_term = < dE/d(state), G_term >  via jax.grad of the energy functional;
+sum(P_term * dt) over the run attributes total-energy drift to individual
+tendency terms. Used for the r3 investigation of the 128^2 two_Gaussians
+low_B early-time energy GAIN (validation/series shows our total energy
+growing ~linearly from t=0 while the reference plot is flat until t~28).
 """
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
-jax.config.update("jax_platforms", "cpu")  # env var alone is not honored (sitecustomize)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
-import numpy as np
 
 from swmhd_tpu import scenarios, diagnostics
 from swmhd_tpu import operators as op
 from swmhd_tpu.advection import upwind_biased_product
 from swmhd_tpu.physics.lorentz import lorentz_force_jacobian
 
-model, state, sc = scenarios.build("64x64_low_B_low_U", "vector_invariant",
+SCEN = os.environ.get("SCENARIO", "128x128_two_Gaussians_low_B")
+NCHUNK = int(os.environ.get("NCHUNK", "30"))
+STEPS = int(os.environ.get("STEPS", "50"))
+
+model, state, sc = scenarios.build(SCEN, "vector_invariant",
                                    dtype=jnp.float64)
 g = model.grid
 gamma_bg = model.A_background_gradient_y
@@ -34,7 +39,6 @@ def energy(u, v, h, A):
 
 
 def terms(st):
-    """Each tendency contribution as (Gu, Gv, Gh, GA) tuples."""
     u, v, h, A = st.u, st.v, st.h, st.A
     Z = jnp.zeros_like(h)
     ms = model.mass_advection
@@ -56,7 +60,6 @@ def terms(st):
         GA_adv = (A * divU - div_flux) / h
         GA_bg = -gamma_bg * op.iy_c(Vf, g) / h
         fu, fv = lorentz_force_jacobian(A, h, g, gamma_bg)
-        # wall masks apply to total Gu,Gv; apply to each u/v term
         def mw(a, b):
             return model._mask_walls(a, b)
         vort_u, vort_v = mw(vort_u, vort_v)
@@ -86,39 +89,25 @@ def budget(st):
     return out
 
 
-step50 = jax.jit(model.step_fn(sc.dt, 50))
+stepper = jax.jit(model.step_fn(sc.dt, STEPS))
 acc = {}
 E_start = float(energy(state.u, state.v, state.h, state.A))
-for i in range(30):
-    b = budget(state)
+print(f"{SCEN}: {NCHUNK} chunks x {STEPS} steps, dt={sc.dt}")
+print(" t     P_lorentz    P_induct     L+I mismatch  P_vort       P_grav+mass")
+for i in range(NCHUNK):
+    b = {k: float(v) for k, v in budget(state).items()}
     for k, val in b.items():
-        acc[k] = acc.get(k, 0.0) + float(val) * 0.5  # 50 steps * dt .01
-    state = step50(state)
+        acc[k] = acc.get(k, 0.0) + val * sc.dt * STEPS
+    pL = b["lorentz"]
+    pI = b["tracer_advection"] + b["tracer_background"]
+    print(f"{i*sc.dt*STEPS:5.1f} {pL:+.3e} {pI:+.3e} {pL+pI:+.3e} "
+          f"{b['vorticity_flux']:+.3e} {b['ke_grad+gravity+mass']:+.3e}")
+    state = stepper(state)
 E_end = float(energy(state.u, state.v, state.h, state.A))
-print(f"E: {E_start:.6f} -> {E_end:.6f}  dE={E_end-E_start:+.6f} "
-      f"(dev*100={abs(E_end-E_start)*100:.2f})")
+print(f"E: {E_start:.6f} -> {E_end:.6f}  dE={E_end-E_start:+.2e} "
+      f"(dev*100={abs(E_end-E_start)*100:.3f})")
 tot = 0.0
 for k, val in sorted(acc.items(), key=lambda kv: kv[1]):
-    print(f"  {k:24s} integral {val:+.6f}")
+    print(f"  {k:24s} integral {val:+.3e}")
     tot += val
-print(f"  {'SUM (fwd-Euler approx)':24s} integral {tot:+.6f}")
-
-# --- appended: time-profile mode ---
-def time_profile():
-    import importlib
-    model_, state_, sc_ = scenarios.build("64x64_low_B_low_U",
-                                          "vector_invariant",
-                                          dtype=jnp.float64)
-    st = state_
-    stepper = jax.jit(model_.step_fn(sc_.dt, 50))
-    print(" t    P_lorentz  P_induct(adv+bg)  mismatch   P_vort")
-    for i in range(30):
-        b = {k: float(v) for k, v in budget(st).items()}
-        pL = b["lorentz"]
-        pI = b["tracer_advection"] + b["tracer_background"]
-        print(f"{i*0.5:5.1f} {pL:+.5f} {pI:+.5f} {pL+pI:+.5f} "
-              f"{b['vorticity_flux']:+.5f}")
-        st = stepper(st)
-
-if os.environ.get("PROFILE"):
-    time_profile()
+print(f"  {'SUM (fwd-Euler approx)':24s} integral {tot:+.3e}")

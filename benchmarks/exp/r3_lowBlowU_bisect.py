@@ -11,6 +11,7 @@ import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
+jax.config.update("jax_platforms", "cpu")  # env var alone is not honored (sitecustomize)
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np

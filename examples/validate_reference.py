@@ -25,6 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Force CPU via jax.config: a sitecustomize registers the TPU relay
+# backend at interpreter start, so the JAX_PLATFORMS env var alone is NOT
+# honored — and on the relay, f64 is emulated with the f32 exponent
+# range, which underflows the WENO rational weights (eps^6 ~ 1e-48) to
+# 0/0 = NaN. jax.config is effective until backends initialize.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

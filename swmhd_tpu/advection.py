@@ -197,8 +197,32 @@ def _degrade_y_f(r3, c, grid, left):
 # Oceananigans WENO5 the reference selects at SWMHD_example.jl:24-26)
 # =================================================================================
 
-_WENO_EPS = 1e-6
+# Smoothness-indicator regularizer. The reference's Oceananigans WENO
+# vintage uses eps = 1e-8; the value is DECISIVE at 128^2, where smooth-
+# field betas are O((dx^2 f'')^2) ~ 1e-6: with eps = 1e-6 the nonlinear
+# weights linearize, the scheme loses the upwind dissipation that balances
+# the discrete Lorentz-work/induction mismatch, and total energy GAINS
+# ~0.035 (dev x100 units) by t=30 vs the reference's recorded ~0.01 at
+# t=60 (r3 root cause; benchmarks/exp/r3_eps_sweep.py — eps 1e-8 lands
+# every 128^2 anchor: cons KE_end 0.00348 vs recorded 0.0035).
+_WENO_EPS = float(os.environ.get("SWMHD_WENO_EPS", "1e-8"))
 _GAMMA = (0.1, 0.6, 0.3)
+
+# f32 underflow floor: the divide-free rational weights multiply three
+# (beta+eps)^2 factors, so their smallest term is O(eps^6) = 1e-48 at
+# eps=1e-8 — below the f32 subnormal range, and 0/0 = NaN on constant
+# fields (caught on the TPU's f32-pair-emulated f64, which shares the f32
+# exponent). f32 cannot resolve betas near 1e-8 anyway, so it keeps the
+# proven 1e-6 (terms >= 1e-37, inside f32 normal range).
+_WENO_EPS_F32 = max(_WENO_EPS, 1e-6)
+
+
+def _eps_for(b):
+    # b may be a plain array or a Slab extent wrapper (ops.slab_step)
+    dt = getattr(b, "dtype", None)
+    if dt is None:
+        dt = b.data.dtype
+    return _WENO_EPS if dt == jnp.float64 else _WENO_EPS_F32
 
 
 def _weno5_left(c, sh):
@@ -253,31 +277,32 @@ _WENO_RATIONAL = os.environ.get("SWMHD_WENO_RATIONAL", "1") == "1"
 
 def _weno_combine(ps, betas, betas_external=None):
     b = betas_external if betas_external is not None else betas
+    eps = _eps_for(b[0])
     if _WENO_Z:
         tau2 = (b[0] - b[2]) ** 2         # tau5^2; |.|^2 needs no abs
         if _WENO_RATIONAL:
-            q0 = (b[0] + _WENO_EPS) ** 2
-            q1 = (b[1] + _WENO_EPS) ** 2
-            q2 = (b[2] + _WENO_EPS) ** 2
+            q0 = (b[0] + eps) ** 2
+            q1 = (b[1] + eps) ** 2
+            q2 = (b[2] + eps) ** 2
             a0 = _GAMMA[0] * (q0 + tau2) * (q1 * q2)
             a1 = _GAMMA[1] * (q1 + tau2) * (q0 * q2)
             a2 = _GAMMA[2] * (q2 + tau2) * (q0 * q1)
             return (a0 * ps[0] + a1 * ps[1] + a2 * ps[2]) / (a0 + a1 + a2)
-        a0 = _GAMMA[0] * (1.0 + tau2 / (b[0] + _WENO_EPS) ** 2)
-        a1 = _GAMMA[1] * (1.0 + tau2 / (b[1] + _WENO_EPS) ** 2)
-        a2 = _GAMMA[2] * (1.0 + tau2 / (b[2] + _WENO_EPS) ** 2)
+        a0 = _GAMMA[0] * (1.0 + tau2 / (b[0] + eps) ** 2)
+        a1 = _GAMMA[1] * (1.0 + tau2 / (b[1] + eps) ** 2)
+        a2 = _GAMMA[2] * (1.0 + tau2 / (b[2] + eps) ** 2)
         return (a0 * ps[0] + a1 * ps[1] + a2 * ps[2]) / (a0 + a1 + a2)
     if _WENO_RATIONAL:
-        q0 = (b[0] + _WENO_EPS) ** 2
-        q1 = (b[1] + _WENO_EPS) ** 2
-        q2 = (b[2] + _WENO_EPS) ** 2
+        q0 = (b[0] + eps) ** 2
+        q1 = (b[1] + eps) ** 2
+        q2 = (b[2] + eps) ** 2
         a0 = _GAMMA[0] * (q1 * q2)
         a1 = _GAMMA[1] * (q0 * q2)
         a2 = _GAMMA[2] * (q0 * q1)
         return (a0 * ps[0] + a1 * ps[1] + a2 * ps[2]) / (a0 + a1 + a2)
-    a0 = _GAMMA[0] / (b[0] + _WENO_EPS) ** 2
-    a1 = _GAMMA[1] / (b[1] + _WENO_EPS) ** 2
-    a2 = _GAMMA[2] / (b[2] + _WENO_EPS) ** 2
+    a0 = _GAMMA[0] / (b[0] + eps) ** 2
+    a1 = _GAMMA[1] / (b[1] + eps) ** 2
+    a2 = _GAMMA[2] / (b[2] + eps) ** 2
     s = a0 + a1 + a2
     return (a0 * ps[0] + a1 * ps[1] + a2 * ps[2]) / s
 

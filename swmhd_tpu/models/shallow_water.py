@@ -223,19 +223,14 @@ class ShallowWaterModel:
         padded tile zeroes the true domain wall face, on edge shards only."""
         g = self.grid
         from ..grid import BOUNDED
-        ctx = op.get_index_ctx()
+        # where-form (not scatter) so the identical code lowers in XLA,
+        # shard_map, and the fused Pallas kernel
         if g.topology_x == BOUNDED:
-            if ctx is None:
-                u_like = u_like.at[0, :].set(0.0)
-            else:
-                u_like = jnp.where(op.global_index_x(u_like) == 0,
-                                   0.0, u_like)
+            u_like = jnp.where(op.global_index_x(u_like) == 0,
+                               0.0, u_like)
         if g.topology_y == BOUNDED:
-            if ctx is None:
-                v_like = v_like.at[:, 0].set(0.0)
-            else:
-                v_like = jnp.where(op.global_index_y(v_like) == 0,
-                                   0.0, v_like)
+            v_like = jnp.where(op.global_index_y(v_like) == 0,
+                               0.0, v_like)
         return u_like, v_like
 
     def _apply_forcing(self, state, Gu, Gv, Gh, GA):

@@ -95,14 +95,17 @@ def get_index_ctx():
 
 
 def global_index_x(a) -> jnp.ndarray:
-    """Global x-index of every row of ``a``, shaped (nx, 1) for masking."""
-    idx = jnp.arange(a.shape[0])[:, None]
+    """Global x-index of every element of ``a`` (full-shape 2-D iota:
+    Mosaic rejects 1-D iota/arange+reshape, while a full-shape iota fuses
+    to zero cost in XLA and lowers natively in Pallas — this is what lets
+    the fused kernel run BOUNDED walls in-kernel)."""
+    idx = lax.broadcasted_iota(jnp.int32, a.shape, 0)
     ctx = _INDEX_CTX[0]
     return idx if ctx is None else idx + ctx.ox
 
 
 def global_index_y(a) -> jnp.ndarray:
-    idx = jnp.arange(a.shape[1])[None, :]
+    idx = lax.broadcasted_iota(jnp.int32, a.shape, 1)
     ctx = _INDEX_CTX[0]
     return idx if ctx is None else idx + ctx.oy
 
@@ -208,21 +211,24 @@ def _clamped_shift(a: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
     # with i and the clip range in GLOBAL indices (IndexContext-aware so a
     # shard_map-ped padded tile clamps at the true domain walls, not at its
     # own edges; interior shards never trigger the clamp).
+    #
+    # Pure roll + where + slice form (no scatter, no 1-D iota) so the SAME
+    # code lowers in XLA, under shard_map, and inside the fused Pallas
+    # kernel — which is what gives the bounded-wall scenario class its
+    # fast path. The roll goes through the pluggable _ROLL hook so kernel
+    # and pad-memo roll dedup apply to bounded shifts too.
     ctx = _INDEX_CTX[0]
-    rolled = jnp.roll(a, -n, axis=axis)
-    if ctx is None:
-        if n > 0:
-            idx = [slice(None)] * a.ndim
-            idx[axis] = slice(-n, None)
-            edge = [slice(None)] * a.ndim
-            edge[axis] = slice(-1, None)
-            return rolled.at[tuple(idx)].set(a[tuple(edge)])
-        idx = [slice(None)] * a.ndim
-        idx[axis] = slice(None, -n)
-        edge = [slice(None)] * a.ndim
-        edge[axis] = slice(None, 1)
-        return rolled.at[tuple(idx)].set(a[tuple(edge)])
+    rolled = _ROLL[0](a, -n, axis)
     gi = global_index_x(a) if axis == 0 else global_index_y(a)
+    if ctx is None:
+        gN = a.shape[axis]
+        if n > 0:
+            cond = gi + n > gN - 1
+            wall = lax.slice_in_dim(a, gN - 1, gN, axis=axis)
+        else:
+            cond = gi + n < 0
+            wall = lax.slice_in_dim(a, 0, 1, axis=axis)
+        return jnp.where(cond, wall, rolled)
     gN = ctx.gNx if axis == 0 else ctx.gNy
     origin = ctx.ox if axis == 0 else ctx.oy
     if n > 0:
@@ -267,22 +273,18 @@ def dy_c(a, grid):  # δyᵃᶜᵃ
 def dx_c_flux(f, grid):
     up = shift_x(f, 1, grid)
     if grid.topology_x == BOUNDED:
-        if _INDEX_CTX[0] is None:
-            up = up.at[-1, :].set(0.0)
-        else:  # zero the flux through the GLOBAL wall face
-            up = jnp.where(global_index_x(up) == global_nx(grid) - 1,
-                           0.0, up)
+        # zero the flux through the GLOBAL wall face (where-form: lowers
+        # in XLA, shard_map, and the fused Pallas kernel alike)
+        up = jnp.where(global_index_x(up) == global_nx(grid) - 1,
+                       0.0, up)
     return up - f
 
 
 def dy_c_flux(f, grid):
     up = shift_y(f, 1, grid)
     if grid.topology_y == BOUNDED:
-        if _INDEX_CTX[0] is None:
-            up = up.at[:, -1].set(0.0)
-        else:
-            up = jnp.where(global_index_y(up) == global_ny(grid) - 1,
-                           0.0, up)
+        up = jnp.where(global_index_y(up) == global_ny(grid) - 1,
+                       0.0, up)
     return up - f
 
 

@@ -364,12 +364,19 @@ def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
                   interpret: bool = False):
     """Jittable ``state -> state`` advancing ``n_steps`` fused RK3 steps.
 
-    Requirements: doubly-periodic topology; ``tile_x`` ≡ 0 (mod 8)
-    dividing Nx. ``halo`` (default 8) must be >= the composed per-substage
-    stencil radius (6) and 8-aligned."""
+    Requirements: PERIODIC x (the tiled/padded axis); y may be PERIODIC
+    or BOUNDED — the kernel holds the full y row in VMEM, so the wall
+    machinery's local indices coincide with global ones and the clamped
+    shifts / wall-flux masks / no-penetration masks (all roll+where+iota
+    form) are exact in-kernel. This gives the reference's bounded-wall
+    scenario class (low_B_low_U, SWMHD_example.jl:18-19) the same fast
+    path as the periodic runs. ``tile_x`` ≡ 0 (mod 8) dividing Nx;
+    ``halo`` (default 8) must be >= the composed per-substage stencil
+    radius (6) and 8-aligned."""
     g = model.grid
-    if g.topology_x != PERIODIC or g.topology_y != PERIODIC:
-        raise ValueError("fused step supports periodic topology only")
+    if g.topology_x != PERIODIC:
+        raise ValueError("fused step requires periodic x topology "
+                         "(the tiled axis)")
     calls, Tx, H = build_fused_calls(model, dt, tile_x, halo, interpret)
 
     def pad(f):

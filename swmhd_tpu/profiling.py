@@ -41,6 +41,16 @@ class StepBenchmark:
     grid_points: int
     hbm_gbps_estimate: Optional[float] = None
     hbm_fraction_of_light: Optional[float] = None
+    # per-call wall times (s); spread = (max-min)/median across calls
+    per_call_s: Optional[tuple] = None
+
+    @property
+    def rel_spread(self) -> Optional[float]:
+        if not self.per_call_s or len(self.per_call_s) < 2:
+            return None
+        s = sorted(self.per_call_s)
+        med = s[len(s) // 2]
+        return (s[-1] - s[0]) / med if med > 0 else None
 
     def __str__(self):
         s = (f"{self.points_per_s:.3e} pts/s "
@@ -110,10 +120,13 @@ def benchmark_step(step_fn: Callable, state, n_steps_per_call: int,
     state = advance(state)
     _sync(state)
 
+    per_call = []
     t0 = time.perf_counter()
     for _ in range(n_calls):
+        tc = time.perf_counter()
         state = advance(state)
-    _sync(state)
+        _sync(state)
+        per_call.append(time.perf_counter() - tc)
     wall = time.perf_counter() - t0
 
     n_steps = n_calls * n_steps_per_call
@@ -132,7 +145,8 @@ def benchmark_step(step_fn: Callable, state, n_steps_per_call: int,
                          wall_s=wall, n_steps=n_steps,
                          grid_points=grid_points,
                          hbm_gbps_estimate=gbps,
-                         hbm_fraction_of_light=frac)
+                         hbm_fraction_of_light=frac,
+                         per_call_s=tuple(per_call))
 
 
 @contextlib.contextmanager

@@ -51,7 +51,8 @@ def render_energy_plot(energies_csv: str, out_png: str, title: str = ""):
 
 
 def render_movie(fields_dir: str, out_path: str, names=("A", "s"),
-                 titles=("Magnetic potential", "Speed"), fps: int = 24):
+                 titles=("Magnetic potential", "Speed"), fps: int = 24,
+                 autoscale: bool = False, figsize=None, cmap="viridis"):
     from .io.readers import FieldTimeSeries
     plt = _mpl()
     series = [FieldTimeSeries(fields_dir, n) for n in names]
@@ -64,17 +65,24 @@ def render_movie(fields_dir: str, out_path: str, names=("A", "s"),
     vmins = [min(float(s[i].min()) for i in range(len(s))) for s in series]
     vmaxs = [max(float(s[i].max()) for i in range(len(s))) for s in series]
 
+    if figsize is None:
+        figsize = (6 * len(series), 5)
     frames_dir = out_path + ".frames"
     os.makedirs(frames_dir, exist_ok=True)
     for i in range(len(times)):
-        fig, axes = plt.subplots(1, len(series), figsize=(6 * len(series), 5))
+        fig, axes = plt.subplots(1, len(series), figsize=figsize)
         if len(series) == 1:
             axes = [axes]
         for ax, s, ttl, vmin, vmax in zip(axes, series, titles, vmins, vmaxs):
-            im = ax.imshow(np.asarray(s[i]).T, origin="lower",
-                           extent=extent, cmap="viridis",
+            frame = np.asarray(s[i])
+            if autoscale:  # the reference's Makie movies recolor per frame
+                vmin, vmax = float(frame.min()), float(frame.max())
+                if vmax <= vmin:
+                    vmax = vmin + 1e-12
+            im = ax.imshow(frame.T, origin="lower",
+                           extent=extent, cmap=cmap,
                            vmin=vmin, vmax=vmax)
-            ax.set_title(f"{ttl} at t = {times[i]:.2f}")
+            ax.set_title(f"{ttl} at time = {times[i]:.1f}")
             ax.set_xlabel("x")
             ax.set_ylabel("y")
             fig.colorbar(im, ax=ax)
@@ -82,7 +90,7 @@ def render_movie(fields_dir: str, out_path: str, names=("A", "s"),
         fig.savefig(os.path.join(frames_dir, f"{i:05d}.png"), dpi=100)
         plt.close(fig)
 
-    # try ffmpeg
+    # encode: ffmpeg if present, else OpenCV's mp4 writer, else keep frames
     import shutil, subprocess
     if shutil.which("ffmpeg"):
         subprocess.run(
@@ -92,7 +100,22 @@ def render_movie(fields_dir: str, out_path: str, names=("A", "s"),
             check=True)
         shutil.rmtree(frames_dir)
         return out_path
-    return frames_dir
+    try:
+        import cv2
+    except ImportError:
+        return frames_dir
+    frame_files = sorted(os.listdir(frames_dir))
+    first = cv2.imread(os.path.join(frames_dir, frame_files[0]))
+    h_px, w_px = first.shape[:2]
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w_px, h_px))
+    if not writer.isOpened():
+        return frames_dir
+    for f in frame_files:
+        writer.write(cv2.imread(os.path.join(frames_dir, f)))
+    writer.release()
+    shutil.rmtree(frames_dir)
+    return out_path
 
 
 def render_field_verification(grid, A, h, out_prefix: str,

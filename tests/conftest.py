@@ -11,13 +11,18 @@ import os
 # Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU relay
 # and a sitecustomize imports jax at interpreter start, so env vars are too
 # late — go through jax.config (effective until backends initialize).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# SWMHD_TEST_TPU=1 keeps the ambient TPU backend instead, which is how the
+# @skipif(default_backend != "tpu") hardware-equality tests are run:
+#   SWMHD_TEST_TPU=1 pytest tests/test_fused.py -k tpu
+_USE_TPU = os.environ.get("SWMHD_TEST_TPU", "0") == "1"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_enable_x64", True)
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: XLA-CPU compiles of the WENO tendency graphs
 # take tens of seconds on a small host; cache them across test runs.

@@ -82,6 +82,38 @@ def test_fused_four_tiles_steady_state_dma():
             rtol=1e-12, atol=1e-12, err_msg=name)
 
 
+@pytest.mark.parametrize("formulation", [VECTOR_INVARIANT, CONSERVATIVE])
+def test_fused_bounded_y_matches_reference_step(formulation):
+    """Bounded-y walls inside the fused kernel (the reference's
+    low_B_low_U scenario class, SWMHD_example.jl:18-19): the kernel holds
+    the full y row, so the roll+where+iota wall machinery (clamped
+    shifts, wall-flux zeroing, no-penetration masks, near-wall WENO
+    degradation) is exact in-kernel — this test pins fused == XLA on a
+    wall-bounded run with the scenario's background-gradient A."""
+    from swmhd_tpu import scenarios
+    model, state, sc = scenarios.build("64x64_low_B_low_U", formulation,
+                                       dtype=jnp.float64)
+    dt = sc.dt
+    ref = jax.jit(model.step_fn(dt, 2))(state)
+    fused = fused_step_fn(model, dt, n_steps=2, tile_x=32, halo=8,
+                          interpret=True)
+    out = fused(state)
+    for name in ("h", "u", "v", "A"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-12, atol=1e-12,
+            err_msg=f"bounded-y fused {name} ({formulation})")
+
+
+def test_fused_bounded_x_rejected():
+    g = Grid.regular(64, 64, (-L / 2, L / 2), (-L / 2, L / 2),
+                     topology=("bounded", "periodic"), dtype=jnp.float64)
+    model = ShallowWaterModel(grid=g, formulation=VECTOR_INVARIANT,
+                              coriolis=FPlane(1.0))
+    with pytest.raises(ValueError, match="periodic x"):
+        fused_step_fn(model, 0.01, interpret=True)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="real-TPU fused==XLA equality (VERDICT r2 item 6)")
 @pytest.mark.parametrize("mosaic_roll", ["0", "1"])
@@ -113,3 +145,24 @@ def test_fused_matches_xla_on_tpu(monkeypatch, mosaic_roll):
             f"{name}: fused deviates from XLA on TPU by "
             f"{np.max(np.abs(a - b)) / scale:.2e} (mosaic_roll="
             f"{mosaic_roll})")
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-TPU bounded-y fused==XLA equality")
+def test_fused_bounded_y_matches_xla_on_tpu():
+    """Compiled (Mosaic) agreement of the bounded-y wall machinery over
+    10 steps at 128^2 f32 — guards the where+iota lowering on hardware."""
+    from swmhd_tpu import scenarios
+    model, state, sc = scenarios.build("128x128_low_B_low_U",
+                                       VECTOR_INVARIANT,
+                                       dtype=jnp.float32)
+    dt = sc.dt
+    ref = jax.jit(model.step_fn(dt, 10))(state)
+    out = jax.jit(fused_step_fn(model, dt, n_steps=10))(state)
+    for name in ("h", "u", "v", "A"):
+        a = np.asarray(getattr(out, name), dtype=np.float64)
+        b = np.asarray(getattr(ref, name), dtype=np.float64)
+        scale = np.max(np.abs(b)) + 1e-30
+        assert np.max(np.abs(a - b)) / scale < 2e-5, (
+            f"{name}: bounded-y fused deviates from XLA on TPU by "
+            f"{np.max(np.abs(a - b)) / scale:.2e}")

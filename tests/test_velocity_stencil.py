@@ -33,7 +33,7 @@ from swmhd_tpu.models.shallow_water import (
     VORTICITY_STENCIL)
 from swmhd_tpu import advection as adv
 
-EPS = 1e-6
+EPS = 1e-8  # the Oceananigans-era regularizer (swmhd_tpu.advection._WENO_EPS)
 G = (0.1, 0.6, 0.3)
 
 
