@@ -279,7 +279,29 @@ were isolated:
 
 Previously-published exonerations (walls, Δt) still hold; the round-2
 "tracer scheme exonerated" note tested WENO-Z on the tracer only and
-measured it with the interpolated functionals, which masked the fix."""
+measured it with the interpolated functionals, which masked the fix.
+
+## Root cause of the round-3 128² two_Gaussians_low_B misses (fixed)
+
+With Z-weights in place, both 128² two_Gaussians_low_B combos still
+failed: total energy GREW ~linearly from t=0 (dev ≈ +0.035 by t=30 vs
+the reference's flat-until-t≈28 curve peaking at 0.010), vi missing its
+3× dev envelope and cons landing KE_end 0.00576 vs the recorded 0.0035.
+The energy budget (benchmarks/exp/r3_budget_any.py) attributed the gain
+entirely to the Lorentz-work/induction mismatch netting POSITIVE — the
+Lorentz force was doing more work on the flow than the magnetic field
+lost. The cause was the smoothness-indicator regularizer: at 128² the
+smooth-field betas are O((Δx²A″)²) ≈ 1e-6, equal to the then-default
+eps = 1e-6, which linearized the nonlinear weights and removed the
+upwind dissipation of A that balances the mismatch (at 64² betas are
+~16× larger, masking it). eps = 1e-8 — the Oceananigans-era value —
+restores it (benchmarks/exp/r3_eps_sweep.py): vi dev_max 0.0032 (the
+reference's own curve peaks at 0.010), cons KE_end 0.00348 vs recorded
+0.0035, and the cons run reproduces the reference's late-time
+instability onset (dev rising from t≈53, ref t≈50). eps is now 1e-8 in
+f64 (`SWMHD_WENO_EPS` overrides); f32 keeps a 1e-6 floor because the
+divide-free rational weights underflow at eps⁶ = 1e-48 (below the f32
+exponent range, 0/0 = NaN on constant fields)."""
 
 
 if __name__ == "__main__":
