@@ -42,6 +42,13 @@ SCENARIOS = ["64x64_two_Gaussians_low_B", "64x64_two_Gaussians_high_B",
              "64x64_low_B_low_U", "128x128_two_Gaussians_low_B",
              "128x128_two_Gaussians_high_B", "128x128_low_B_low_U"]
 
+# recorded-run durations that differ from the scenario registry's default
+# (reference movie frame count x 0.1 = the stop validate_reference pins)
+REF_STOP = {
+    ("conservative", "64x64_two_Gaussians_low_B"): 60.0,
+    ("conservative", "64x64_two_Gaussians_high_B"): 10.0,
+}
+
 
 def run_and_render(scen_name, formulation, dtype_str, workdir):
     import jax
@@ -53,6 +60,12 @@ def run_and_render(scen_name, formulation, dtype_str, workdir):
 
     dtype = jnp.float64 if dtype_str == "float64" else jnp.float32
     model, state, sc = scenarios.build(scen_name, formulation, dtype=dtype)
+    # the recorded runs' durations differ per formulation (reference
+    # movie frame counts x 0.1; same stop times validate_reference pins —
+    # not imported from there because its import flips jax_enable_x64)
+    stop = REF_STOP.get((formulation, scen_name), sc.stop_time)
+    import dataclasses
+    sc = dataclasses.replace(sc, stop_time=stop)
     gamma = getattr(model, "A_background_gradient_y", 0.0)
     g = model.grid
     _, Yc = g.nodes("cc")
@@ -165,8 +178,19 @@ def main():
                 "t_end": round(times[-1], 3),
             })
             print(f"   {mp4} ({len(times)} frames; ref {nref})", flush=True)
-    with open(os.path.join(OUT, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    # merge with any prior manifest so --only reruns update in place
+    path = os.path.join(OUT, "manifest.json")
+    merged = []
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    new_keys = {(m["formulation"], m["scenario"]) for m in manifest}
+    merged = [m for m in merged
+              if (m["formulation"], m["scenario"]) not in new_keys]
+    merged += manifest
+    merged.sort(key=lambda m: (m["formulation"], m["scenario"]))
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
     print(json.dumps(manifest, indent=1))
 
 

@@ -243,10 +243,46 @@ def write_markdown(rows, suffix=""):
         lines.append(f"| | | **overall** | | | "
                      f"{'**PASS**' if r['ok'] else '**FAIL**'} |")
     n_ok = sum(r["ok"] for r in rows)
-    lines += ["", f"**{n_ok}/{len(rows)} scenarios pass.**", "", NOTES, ""]
+    lines += ["", f"**{n_ok}/{len(rows)} scenarios pass.**", "",
+              _movie_parity_section(), NOTES, ""]
     with open(os.path.join(REPO, f"VALIDATION{suffix}.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"wrote VALIDATION{suffix}.md ({n_ok}/{len(rows)} pass)")
+
+
+def _movie_parity_section():
+    """Artifact-parity table for the 12 scenario movies (C9's remaining
+    artifact class): our mp4s + first/last-frame side-by-sides vs the
+    reference's simulation_runs/*.mp4, from examples/render_movies.py."""
+    path = os.path.join(REPO, "validation", "movies", "manifest.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        man = json.load(f)
+    lines = [
+        "## Movie artifact parity (simulation_runs/*.mp4)",
+        "",
+        "Our re-renders of the reference's 12 scenario movies "
+        "(`validation/movies/*.mp4`; two-panel Magnetic-potential/Speed, "
+        "0.1-t frame cadence, per-frame color autoscale — the Makie "
+        "record layout of SWMHD_example.jl:103-130) plus side-by-side "
+        "first/last-frame comparisons against the reference mp4s "
+        "(`validation/movies/compare_*.png`). The displayed magnetic "
+        "potential includes the static background ramp, so low_B_low_U "
+        "panels compare like-for-like. Generator: "
+        "`examples/render_movies.py`.",
+        "",
+        "| formulation | scenario | frames (ours/ref) | t_end | "
+        "comparison |",
+        "|---|---|---|---|---|",
+    ]
+    for m in man:
+        lines.append(
+            f"| {m['formulation']} | {m['scenario']} | "
+            f"{m['our_frames']}/{m['ref_frames']} | {m['t_end']:g} | "
+            f"`{os.path.basename(m['compare'])}` |")
+    lines.append("")
+    return "\n".join(lines)
 
 
 NOTES = """\

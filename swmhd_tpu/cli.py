@@ -39,6 +39,9 @@ def _add_run_args(p):
                    help="checkpoint file to resume from")
     p.add_argument("--movie", action="store_true",
                    help="render A/speed movie + energy plot after the run")
+    p.add_argument("--fused", action="store_true",
+                   help="drive the run through the fused Pallas substage "
+                        "kernel (TPU; periodic x required)")
     p.add_argument("--nu", type=float, default=0.0,
                    help="momentum diffusivity (Laplacian; biharmonic with "
                         "--biharmonic)")
@@ -93,7 +96,16 @@ def cmd_run(args):
         "runs", f"{args.scenario}_{args.formulation}")
     os.makedirs(outdir, exist_ok=True)
 
-    sim = Simulation(model, dt=dt, stop_time=stop_time)
+    stepper = None
+    if args.fused:
+        from .ops.fused_step import FusedStepper, fused_step_fn
+        try:
+            fused_step_fn(model, dt, 1)  # validate geometry/topology
+            stepper = FusedStepper(model)
+        except ValueError as e:
+            logging.warning("--fused unavailable (%s); using the XLA step",
+                            e)
+    sim = Simulation(model, dt=dt, stop_time=stop_time, stepper=stepper)
     sim.callbacks["progress"] = Callback(
         progress_callback(), IterationInterval(args.progress_every))
 

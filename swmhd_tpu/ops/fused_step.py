@@ -361,8 +361,13 @@ def build_fused_calls(model: ShallowWaterModel, dt: float,
 
 def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
                   tile_x: int | None = None, halo: int | None = None,
-                  interpret: bool = False):
+                  interpret: bool = False, diagnostics=None):
     """Jittable ``state -> state`` advancing ``n_steps`` fused RK3 steps.
+
+    ``diagnostics`` follows the ``ShallowWaterModel.step_fn`` contract
+    (a ``state -> {name: scalar}`` callable turns the return into
+    ``(state, {name: (n_steps,) array})``), so the fused path slots into
+    :class:`~swmhd_tpu.simulation.Simulation` via :class:`FusedStepper`.
 
     Requirements: PERIODIC x (the tiled/padded axis); y may be PERIODIC
     or BOUNDED — the kernel holds the full y row in VMEM, so the wall
@@ -377,6 +382,10 @@ def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
     if g.topology_x != PERIODIC:
         raise ValueError("fused step requires periodic x topology "
                          "(the tiled axis)")
+    if not interpret and g.Ny % 128:
+        raise ValueError(
+            f"fused step needs Ny % 128 == 0 on TPU (Mosaic requires the "
+            f"HBM window DMA's lane dim 128-aligned); Ny={g.Ny}")
     calls, Tx, H = build_fused_calls(model, dt, tile_x, halo, interpret)
 
     def pad(f):
@@ -390,19 +399,48 @@ def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
             pfields, G_prev = out[:4], out[4:]
         return pfields, clock.tick(dt)
 
-    def fn(state: State) -> State:
-        pfields = tuple(pad(f) for f in
-                        (state.h, state.u, state.v, state.A))
-
-        if n_steps == 1:
-            pfields, clock = one_padded_step(pfields, state.clock)
-        else:
-            def body(carry, _):
-                return one_padded_step(*carry), None
-            (pfields, clock), _ = jax.lax.scan(
-                body, (pfields, state.clock), None, length=n_steps)
-
+    def crop(pfields, clock) -> State:
         h, u, v, A = (f[H:H + g.Nx] for f in pfields)
         return State(h=h, u=u, v=v, A=A, clock=clock)
 
+    def fn(state: State):
+        pfields = tuple(pad(f) for f in
+                        (state.h, state.u, state.v, state.A))
+
+        if n_steps == 1 and diagnostics is None:
+            pfields, clock = one_padded_step(pfields, state.clock)
+        else:
+            def body(carry, _):
+                carry = one_padded_step(*carry)
+                ys = (diagnostics(crop(*carry))
+                      if diagnostics is not None else None)
+                return carry, ys
+            (pfields, clock), series = jax.lax.scan(
+                body, (pfields, state.clock), None, length=n_steps)
+            if diagnostics is not None:
+                return crop(pfields, clock), series
+
+        return crop(pfields, clock)
+
     return fn
+
+
+class FusedStepper:
+    """Simulation-compatible wrapper: ``Simulation(model, ...,
+    stepper=FusedStepper(model))`` drives production runs through the
+    fused Pallas kernel instead of the XLA step graph, with the same
+    schedules/writers/in-graph scalar series (``--fused`` on the CLI)."""
+
+    def __init__(self, model: ShallowWaterModel,
+                 tile_x: int | None = None, halo: int | None = None,
+                 interpret: bool = False):
+        self.model = model
+        self.tile_x = tile_x
+        self.halo = halo
+        self.interpret = interpret
+
+    def step_fn(self, dt, n_steps: int = 1, diagnostics=None):
+        return fused_step_fn(self.model, dt, n_steps=n_steps,
+                             tile_x=self.tile_x, halo=self.halo,
+                             interpret=self.interpret,
+                             diagnostics=diagnostics)

@@ -149,3 +149,38 @@ class TestCheckpoint:
         other = Grid.regular(16, 16, (0, 1), (0, 1))
         with pytest.raises(ValueError):
             checkpoint.restore(p, other)
+
+
+class TestFusedStepper:
+    def test_simulation_with_fused_stepper_matches_model(self, tmp_path):
+        """Simulation(stepper=FusedStepper) (interpret mode) reproduces the
+        XLA-stepper run — final state AND the in-graph energy series — so
+        the CLI --fused production path is pinned end-to-end."""
+        from swmhd_tpu.ops.fused_step import FusedStepper
+        from swmhd_tpu.io import ScalarSeriesWriter
+
+        def run(stepper, out):
+            model = small_model()
+            state = small_state(model)
+            h0 = state.h
+            sim = Simulation(model, dt=0.01, stop_iteration=6,
+                             stepper=stepper(model) if stepper else None)
+            sim.output_writers["energies"] = ScalarSeriesWriter(
+                fn=lambda m, s: {
+                    "te": diagnostics.energy_report(m, s, h0)
+                          ["total_energy"]},
+                schedule=IterationInterval(1), path=str(out))
+            return sim.run(state)
+
+        ref = run(None, tmp_path / "ref.csv")
+        fused = run(lambda m: FusedStepper(m, tile_x=16, halo=8,
+                                           interpret=True),
+                    tmp_path / "fused.csv")
+        for name in ("h", "u", "v", "A"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(fused, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=1e-12, atol=1e-12, err_msg=name)
+        a = np.loadtxt(tmp_path / "ref.csv", delimiter=",", skiprows=1)
+        b = np.loadtxt(tmp_path / "fused.csv", delimiter=",", skiprows=1)
+        np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-12)
