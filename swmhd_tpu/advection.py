@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Callable
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 
@@ -251,6 +251,35 @@ def _weno5_right(c, sh):
     return _weno_combine((p0, p1, p2), (b0, b1, b2))
 
 
+def _weno5_pair(c, sh):
+    """(left, right) WENO5 values at face i, sharing smoothness indicators.
+
+    The right-biased substencils at face i are the left-biased ones at
+    face i+1 in reverse: β_r,k(i) = β_l,2-k(i+1) exactly (the 13/12 term
+    is symmetric and the 1/4 term's sign flips under mirroring before
+    squaring). So the right betas are three shifts of the left betas —
+    deduplicated to zero cost by the roll memo hooks — instead of three
+    recomputations: ~15% of the whole step's flops on the upwind pairs.
+    The composed stencil radius is unchanged (sh(β_l, 1) reaches sh(c, 2)).
+    Near BOUNDED walls the shifted betas are exact precisely where the
+    WENO value survives `_degrade_weno_*` (β_l(i+1) needs 3 <= i+1 <=
+    N-1... <= the degradation bands), so wall behavior is identical."""
+    cm3, cm2, cm1 = sh(c, -3), sh(c, -2), sh(c, -1)
+    c0, cp1, cp2 = c, sh(c, 1), sh(c, 2)
+    p0 = (2.0 * cm3 - 7.0 * cm2 + 11.0 * cm1) / 6.0
+    p1 = (-cm2 + 5.0 * cm1 + 2.0 * c0) / 6.0
+    p2 = (2.0 * cm1 + 5.0 * c0 - cp1) / 6.0
+    b0 = (13.0 / 12.0) * (cm3 - 2 * cm2 + cm1) ** 2 + 0.25 * (cm3 - 4 * cm2 + 3 * cm1) ** 2
+    b1 = (13.0 / 12.0) * (cm2 - 2 * cm1 + c0) ** 2 + 0.25 * (cm2 - c0) ** 2
+    b2 = (13.0 / 12.0) * (cm1 - 2 * c0 + cp1) ** 2 + 0.25 * (3 * cm1 - 4 * c0 + cp1) ** 2
+    left = _weno_combine((p0, p1, p2), (b0, b1, b2))
+    q0 = (2.0 * cp2 - 7.0 * cp1 + 11.0 * c0) / 6.0
+    q1 = (-cp1 + 5.0 * c0 + 2.0 * cm1) / 6.0
+    q2 = (2.0 * c0 + 5.0 * cm1 - cm2) / 6.0
+    right = _weno_combine((q0, q1, q2), (sh(b2, 1), sh(b1, 1), sh(b0, 1)))
+    return left, right
+
+
 # Nonlinear weight flavor. The reference's Oceananigans vintage (the one
 # providing ``WENO5(vector_invariant = VelocityStencil())``,
 # SWMHD_example.jl:24) computes its nonlinear weights in WENO-Z form
@@ -328,6 +357,13 @@ def weno_betas_right(c, sh):
     return (b0, b1, b2)
 
 
+def shift_betas_left_to_right(bl, sh):
+    """Right-biased betas from the left-biased ones: β_r,k(i) = β_l,2-k(i+1)
+    exactly (same substencils, mirror signs vanish under the squares) —
+    three shifts instead of a recomputation (see _weno5_pair)."""
+    return (sh(bl[2], 1), sh(bl[1], 1), sh(bl[0], 1))
+
+
 def weno_candidates_left(c, sh):
     cm3, cm2, cm1 = sh(c, -3), sh(c, -2), sh(c, -1)
     c0, cp1 = c, sh(c, 1)
@@ -372,6 +408,28 @@ def weno5_left_y_f(c, grid):
 def weno5_right_y_f(c, grid):
     r = _weno5_right(c, _sh_y(grid))
     return _degrade_weno_y_f(r, c, grid, left=False)
+
+
+def weno5_pair_x_f(c, grid):
+    l, r = _weno5_pair(c, _sh_x(grid))
+    return (_degrade_weno_x_f(l, c, grid, left=True),
+            _degrade_weno_x_f(r, c, grid, left=False))
+
+
+def weno5_pair_y_f(c, grid):
+    l, r = _weno5_pair(c, _sh_y(grid))
+    return (_degrade_weno_y_f(l, c, grid, left=True),
+            _degrade_weno_y_f(r, c, grid, left=False))
+
+
+def weno5_pair_x_c(u, grid):
+    l, r = weno5_pair_x_f(u, grid)
+    return op.shift_x(l, 1, grid), op.shift_x(r, 1, grid)
+
+
+def weno5_pair_y_c(v, grid):
+    l, r = weno5_pair_y_f(v, grid)
+    return op.shift_y(l, 1, grid), op.shift_y(r, 1, grid)
 
 
 def weno5_left_x_c(u, grid):
@@ -436,25 +494,47 @@ class AdvectionScheme:
     right_x_c: Callable
     left_y_c: Callable
     right_y_c: Callable
+    # optional fused (left, right) reconstructions — WENO5 shares the
+    # smoothness indicators between the two sides (see _weno5_pair)
+    pair_x_f: Optional[Callable] = None
+    pair_y_f: Optional[Callable] = None
+    pair_x_c: Optional[Callable] = None
+    pair_y_c: Optional[Callable] = None
+
+    def both_x_f(self, c, grid):
+        if self.pair_x_f is not None:
+            return self.pair_x_f(c, grid)
+        return self.left_x_f(c, grid), self.right_x_f(c, grid)
+
+    def both_y_f(self, c, grid):
+        if self.pair_y_f is not None:
+            return self.pair_y_f(c, grid)
+        return self.left_y_f(c, grid), self.right_y_f(c, grid)
+
+    def both_x_c(self, u, grid):
+        if self.pair_x_c is not None:
+            return self.pair_x_c(u, grid)
+        return self.left_x_c(u, grid), self.right_x_c(u, grid)
+
+    def both_y_c(self, v, grid):
+        if self.pair_y_c is not None:
+            return self.pair_y_c(v, grid)
+        return self.left_y_c(v, grid), self.right_y_c(v, grid)
 
     def flux_x_f(self, transport_f, c, grid):
         """Upwind flux of center-field ``c`` through x-faces, given the
         transport velocity already at x-faces."""
-        return upwind_biased_product(
-            transport_f, self.left_x_f(c, grid), self.right_x_f(c, grid))
+        return upwind_biased_product(transport_f, *self.both_x_f(c, grid))
 
     def flux_y_f(self, transport_f, c, grid):
-        return upwind_biased_product(
-            transport_f, self.left_y_f(c, grid), self.right_y_f(c, grid))
+        return upwind_biased_product(transport_f, *self.both_y_f(c, grid))
 
     def flux_x_c(self, transport_c, u, grid):
         """Upwind flux of face-field ``u`` at centers."""
-        return upwind_biased_product(
-            transport_c, self.left_x_c(u, grid), self.right_x_c(u, grid))
+        return upwind_biased_product(transport_c, *self.both_x_c(u, grid))
 
     def flux_y_c(self, transport_c, v, grid):
-        return upwind_biased_product(
-            transport_c, self.left_y_c(v, grid), self.right_y_c(v, grid))
+        return upwind_biased_product(transport_c, *self.both_y_c(v, grid))
 
 
 def _centered_pair(interp):
@@ -485,6 +565,8 @@ WENO5 = AdvectionScheme(
     left_y_f=weno5_left_y_f, right_y_f=weno5_right_y_f,
     left_x_c=weno5_left_x_c, right_x_c=weno5_right_x_c,
     left_y_c=weno5_left_y_c, right_y_c=weno5_right_y_c,
+    pair_x_f=weno5_pair_x_f, pair_y_f=weno5_pair_y_f,
+    pair_x_c=weno5_pair_x_c, pair_y_c=weno5_pair_y_c,
 )
 
 SCHEMES = {s.name: s for s in (Centered2, UpwindBiased3, WENO5)}

@@ -50,7 +50,8 @@ from .. import operators as op
 from ..advection import (
     AdvectionScheme, get_scheme, upwind_biased_product,
     weno_candidates_left, weno_candidates_right,
-    weno_betas_left, weno_betas_right, _weno_combine,
+    weno_betas_left, weno_betas_right, shift_betas_left_to_right,
+    _weno_combine,
 )
 from ..physics.coriolis import FPlane
 from .state import State, Clock
@@ -272,8 +273,8 @@ class ShallowWaterModel:
         # mass flux with upwind-reconstructed h (mass_advection=WENO5(),
         # SWMHD_example.jl:25)
         ms = self.mass_advection
-        Uf = upwind_biased_product(u, ms.left_x_f(h, g), ms.right_x_f(h, g))
-        Vf = upwind_biased_product(v, ms.left_y_f(h, g), ms.right_y_f(h, g))
+        Uf = upwind_biased_product(u, *ms.both_x_f(h, g))
+        Vf = upwind_biased_product(v, *ms.both_y_f(h, g))
         divU = op.ddx_c_flux(Uf, g) + op.ddy_c_flux(Vf, g)
         Gh = -divU
 
@@ -356,10 +357,10 @@ class ShallowWaterModel:
         if use_velocity:
             u_y, v_y = shy(u_ff, 1), shy(v_ff, 1)
             bl = avg_betas(weno_betas_left, u_y, v_y, shy)
-            br = avg_betas(weno_betas_right, u_y, v_y, shy)
+            br = shift_betas_left_to_right(bl, shy)
         else:
             bl = weno_betas_left(zeta_y, shy)
-            br = weno_betas_right(zeta_y, shy)
+            br = shift_betas_left_to_right(bl, shy)
         zl = _weno_combine(pl_, bl)
         zr = _weno_combine(pr, br)
         v_hat = op.ixy_fc(v, g)
@@ -372,10 +373,10 @@ class ShallowWaterModel:
         if use_velocity:
             u_x, v_x = shx(u_ff, 1), shx(v_ff, 1)
             bl = avg_betas(weno_betas_left, u_x, v_x, shx)
-            br = avg_betas(weno_betas_right, u_x, v_x, shx)
+            br = shift_betas_left_to_right(bl, shx)
         else:
             bl = weno_betas_left(zeta_x, shx)
-            br = weno_betas_right(zeta_x, shx)
+            br = shift_betas_left_to_right(bl, shx)
         zl = _weno_combine(pl_, bl)
         zr = _weno_combine(pr, br)
         u_hat = op.ixy_cf(u, g)
@@ -399,19 +400,15 @@ class ShallowWaterModel:
         # velocity upwind-reconstructed (the WENO5() momentum advection of
         # divergence_sw_mhd.jl:22)
         tx_cc = op.ix_c(uh, g)                       # transport at (c,c)
-        flux_xx = upwind_biased_product(
-            tx_cc, scheme.left_x_c(u, g), scheme.right_x_c(u, g))
+        flux_xx = upwind_biased_product(tx_cc, *scheme.both_x_c(u, g))
         ty_ff = op.ix_f(vh, g)                       # transport at (f,f)
-        flux_yx = upwind_biased_product(
-            ty_ff, scheme.left_y_f(u, g), scheme.right_y_f(u, g))
+        flux_yx = upwind_biased_product(ty_ff, *scheme.both_y_f(u, g))
         Gu = -(op.ddx_f(flux_xx, g) + op.ddy_c_flux(flux_yx, g))
 
         tx_ff = op.iy_f(uh, g)
-        flux_xy = upwind_biased_product(
-            tx_ff, scheme.left_x_f(v, g), scheme.right_x_f(v, g))
+        flux_xy = upwind_biased_product(tx_ff, *scheme.both_x_f(v, g))
         ty_cc = op.iy_c(vh, g)
-        flux_yy = upwind_biased_product(
-            ty_cc, scheme.left_y_c(v, g), scheme.right_y_c(v, g))
+        flux_yy = upwind_biased_product(ty_cc, *scheme.both_y_c(v, g))
         Gv = -(op.ddx_c_flux(flux_xy, g) + op.ddy_f(flux_yy, g))
 
         # gravity: −g h̄ ∂(h)
@@ -447,8 +444,8 @@ class ShallowWaterModel:
         analytically (continuum limit −γ·v, i.e. −u·∇(γy))."""
         g = self.grid
         ts = self.tracer_advection
-        fx = upwind_biased_product(Uf, ts.left_x_f(A, g), ts.right_x_f(A, g))
-        fy = upwind_biased_product(Vf, ts.left_y_f(A, g), ts.right_y_f(A, g))
+        fx = upwind_biased_product(Uf, *ts.both_x_f(A, g))
+        fy = upwind_biased_product(Vf, *ts.both_y_f(A, g))
         div_flux = op.ddx_c_flux(fx, g) + op.ddy_c_flux(fy, g)
         GA = (A * divU - div_flux) / h
         gamma = self.A_background_gradient_y

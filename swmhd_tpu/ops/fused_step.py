@@ -101,10 +101,11 @@ def _make_kernel_roll(interpret: bool):
     compile time — by a large factor. Entries pin their input tracer so
     id() keys cannot be recycled."""
     import os
-    # Native lane/sublane rotates beat concat-based shifts by ~4.5% per
-    # step on the current Mosaic toolchain (and no longer carry the 4x
-    # compile-time penalty PERFORMANCE.md recorded in round 1).
-    use_mosaic = os.environ.get("SWMHD_MOSAIC_ROLL", "1") == "1"
+    # r3: with the shared-beta WENO pairs the graph carries more shifts,
+    # and concat-based slices now beat native rotates (~6% at 2048^2:
+    # 6.56e8 vs 6.20e8 pts/s per-call-synced; equal at 4096^2) — flipped
+    # back to concat by default. SWMHD_MOSAIC_ROLL=1 restores rotates.
+    use_mosaic = os.environ.get("SWMHD_MOSAIC_ROLL", "0") == "1"
     base = _tile_roll if (interpret or not use_mosaic) else _mosaic_roll
     memo = {}
 

@@ -177,7 +177,12 @@ def slab_tendencies(model: ShallowWaterModel, state: State,
     g = model.grid
     if g.topology_x != PERIODIC or g.topology_y != PERIODIC:
         raise ValueError("slab fast path supports periodic topology only")
-    E = model.exchange_halo if extent is None else extent
+    # +1 over the distributed exchange halo: the Slab extent accounting is
+    # symmetric (a shift by s eats |s| of BOTH sides), so the shared-beta
+    # WENO pairs' sh(beta, +1) — which in truth only shortens the minus-
+    # side reach — is billed against the plus side too. One extra pad ring
+    # costs a wider concat only, not extra compute.
+    E = (model.exchange_halo + 1) if extent is None else extent
     st = state.replace(h=Slab.pad(state.h, E), u=Slab.pad(state.u, E),
                        v=Slab.pad(state.v, E), A=Slab.pad(state.A, E))
     prev = op_mod.set_roll_impl(_slab_roll)

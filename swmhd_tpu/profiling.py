@@ -41,7 +41,11 @@ class StepBenchmark:
     grid_points: int
     hbm_gbps_estimate: Optional[float] = None
     hbm_fraction_of_light: Optional[float] = None
-    # per-call wall times (s); spread = (max-min)/median across calls
+    # wall time of each full repetition (s); the headline numbers use the
+    # fastest repetition. Syncing per CALL would bill one relay
+    # device->host round trip (~25 ms on axon) to every call and
+    # understate throughput ~30% at 2048^2, so each repetition syncs once
+    # at the end and variance comes from repeating the whole loop.
     per_call_s: Optional[tuple] = None
 
     @property
@@ -49,8 +53,7 @@ class StepBenchmark:
         if not self.per_call_s or len(self.per_call_s) < 2:
             return None
         s = sorted(self.per_call_s)
-        med = s[len(s) // 2]
-        return (s[-1] - s[0]) / med if med > 0 else None
+        return (s[-1] - s[0]) / s[0] if s[0] > 0 else None
 
     def __str__(self):
         s = (f"{self.points_per_s:.3e} pts/s "
@@ -105,12 +108,15 @@ def detect_vpu_peak() -> Optional[float]:
 
 def benchmark_step(step_fn: Callable, state, n_steps_per_call: int,
                    n_calls: int = 5, grid_points: Optional[int] = None,
-                   bytes_per_point: Optional[int] = None) -> StepBenchmark:
+                   bytes_per_point: Optional[int] = None,
+                   repeats: int = 2) -> StepBenchmark:
     """Measure a compiled stepper's throughput.
 
     ``step_fn`` advances ``n_steps_per_call`` RK3 steps per invocation and
     returns the new state (extra aux outputs are allowed). One warmup call
-    triggers compilation and is excluded."""
+    triggers compilation and is excluded. The n_calls loop syncs once at
+    the END (a per-call sync would bill a relay round trip to every call)
+    and runs ``repeats`` times; the fastest repetition is the headline."""
     def advance(s):
         out = step_fn(s)
         return out[0] if isinstance(out, tuple) else out
@@ -120,14 +126,15 @@ def benchmark_step(step_fn: Callable, state, n_steps_per_call: int,
     state = advance(state)
     _sync(state)
 
-    per_call = []
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        tc = time.perf_counter()
-        state = advance(state)
-        _sync(state)
-        per_call.append(time.perf_counter() - tc)
-    wall = time.perf_counter() - t0
+    per_rep = []
+    for _ in range(max(1, repeats)):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            s = advance(s)
+        _sync(s)
+        per_rep.append(time.perf_counter() - t0)
+    wall = min(per_rep)
 
     n_steps = n_calls * n_steps_per_call
     steps_per_s = n_steps / wall
@@ -146,7 +153,7 @@ def benchmark_step(step_fn: Callable, state, n_steps_per_call: int,
                          grid_points=grid_points,
                          hbm_gbps_estimate=gbps,
                          hbm_fraction_of_light=frac,
-                         per_call_s=tuple(per_call))
+                         per_call_s=tuple(per_rep))
 
 
 @contextlib.contextmanager
