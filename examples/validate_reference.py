@@ -335,9 +335,11 @@ restores it (benchmarks/exp/r3_eps_sweep.py): vi dev_max 0.0032 (the
 reference's own curve peaks at 0.010), cons KE_end 0.00348 vs recorded
 0.0035, and the cons run reproduces the reference's late-time
 instability onset (dev rising from t≈53, ref t≈50). eps is now 1e-8 in
-f64 (`SWMHD_WENO_EPS` overrides); f32 keeps a 1e-6 floor because the
-divide-free rational weights underflow at eps⁶ = 1e-48 (below the f32
-exponent range, 0/0 = NaN on constant fields)."""
+every dtype (`SWMHD_WENO_EPS` overrides): since r4, non-f64 evaluation
+rescales (betas, eps) by the beta sum — exact-arithmetic no-op for the
+homogeneous weight formulas — so the divide-free rational weights no
+longer underflow at eps⁶ in f32 and the production f32/fused path keeps
+the validated eps=1e-8 semantics (tests/test_advection.py::TestF32Weights)."""
 
 
 if __name__ == "__main__":

@@ -208,21 +208,40 @@ def _degrade_y_f(r3, c, grid, left):
 _WENO_EPS = float(os.environ.get("SWMHD_WENO_EPS", "1e-8"))
 _GAMMA = (0.1, 0.6, 0.3)
 
-# f32 underflow floor: the divide-free rational weights multiply three
-# (beta+eps)^2 factors, so their smallest term is O(eps^6) = 1e-48 at
-# eps=1e-8 — below the f32 subnormal range, and 0/0 = NaN on constant
-# fields (caught on the TPU's f32-pair-emulated f64, which shares the f32
-# exponent). f32 cannot resolve betas near 1e-8 anyway, so it keeps the
-# proven 1e-6 (terms >= 1e-37, inside f32 normal range).
-_WENO_EPS_F32 = max(_WENO_EPS, 1e-6)
+# f32 handling (r4, advisor item): the divide-free rational weights
+# multiply three (beta+eps)^2 factors, so their smallest term is O(eps^6)
+# = 1e-48 at eps=1e-8 — below the f32 subnormal range (0/0 = NaN on
+# constant fields). Instead of flooring eps at 1e-6 (which r3 root-caused
+# as linearizing the nonlinear weights at >=128^2 and producing
+# unphysical energy growth — benchmarks/exp/r3_eps_sweep.py), non-f64
+# evaluation first rescales (betas, eps) by 1/(b0+b1+b2+eps). The weights
+# are a degree-0 homogeneous rational function of (beta_k+eps), so the
+# rescaling changes nothing in exact arithmetic, while every intermediate
+# lands in [~(eps')^2, O(1)] — safely inside the f32 normal range. f32
+# therefore keeps the production eps=1e-8 semantics of the validated f64
+# path (tests/test_advection.py::TestF32Weights pins f32==f64 weights in
+# the 128^2 beta regime where the old floor diverged).
 
 
 def _eps_for(b):
+    del b
+    return _WENO_EPS
+
+
+def _is_f64(b):
     # b may be a plain array or a Slab extent wrapper (ops.slab_step)
     dt = getattr(b, "dtype", None)
     if dt is None:
         dt = b.data.dtype
-    return _WENO_EPS if dt == jnp.float64 else _WENO_EPS_F32
+    return dt == jnp.float64
+
+
+def _normalize_betas(b, eps):
+    """Rescale (b0,b1,b2,eps) by 1/(b0+b1+b2+eps) — exact-arithmetic
+    no-op for the weight formulas (all degree-0 homogeneous in beta+eps),
+    keeps every f32 intermediate inside the normal range at eps=1e-8."""
+    inv = 1.0 / (b[0] + b[1] + b[2] + eps)
+    return (b[0] * inv, b[1] * inv, b[2] * inv), eps * inv
 
 
 def _weno5_left(c, sh):
@@ -307,6 +326,8 @@ _WENO_RATIONAL = os.environ.get("SWMHD_WENO_RATIONAL", "1") == "1"
 def _weno_combine(ps, betas, betas_external=None):
     b = betas_external if betas_external is not None else betas
     eps = _eps_for(b[0])
+    if not _is_f64(b[0]):
+        b, eps = _normalize_betas(b, eps)
     if _WENO_Z:
         tau2 = (b[0] - b[2]) ** 2         # tau5^2; |.|^2 needs no abs
         if _WENO_RATIONAL:

@@ -70,6 +70,16 @@ def cmd_run(args):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
 
+    # persistent compile cache: WENO step graphs take O(minutes) to build
+    # on TPU; scenario reruns should not pay that every invocation
+    cache = os.environ.get(
+        "SWMHD_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "swmhd_tpu_xla"))
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
@@ -98,30 +108,71 @@ def cmd_run(args):
 
     stepper = None
     if args.fused:
-        from .ops.fused_step import FusedStepper, fused_step_fn
-        try:
-            fused_step_fn(model, dt, 1)  # validate geometry/topology
-            stepper = FusedStepper(model)
-        except ValueError as e:
-            logging.warning("--fused unavailable (%s); using the XLA step",
-                            e)
+        # Gate on pallas_available() and catch ANY probe failure (not just
+        # ValueError: Mosaic/Pallas lowering errors surface as other
+        # types), falling back to the XLA step instead of crashing at the
+        # first jitted execution (advisor r3).
+        from .ops.fused_step import (FusedStepper, fused_step_fn,
+                                     pallas_available)
+        from .grid import PERIODIC
+        n_dev = len(jax.devices())
+        if not pallas_available():
+            logging.warning("--fused unavailable (no TPU Pallas backend "
+                            "on %s); using the XLA step",
+                            jax.default_backend())
+        elif n_dev > 1:
+            # multi-chip: the sharded fused path (halo-exchanged tiles,
+            # per-tile Pallas kernel). Bounded-y scenarios keep the y
+            # mesh axis unsharded so tiles hold complete rows.
+            from .parallel import DomainDecomposition, make_mesh
+            shape = ((n_dev, 1)
+                     if model.grid.topology_y != PERIODIC else None)
+            try:
+                mesh = make_mesh(shape=shape)
+                dd = DomainDecomposition(model, mesh, halo=8)
+                dd.fused_step_fn(dt, 1)  # geometry/topology probe
+                stepper = dd.fused_stepper()
+                state = dd.shard_state(state)
+                logging.info("fused sharded stepper over %s mesh",
+                             dict(mesh.shape))
+            except Exception as e:
+                logging.warning("--fused sharded unavailable (%s); "
+                                "using the XLA step", e)
+        else:
+            try:
+                fused_step_fn(model, dt, 1)  # validate geometry/topology
+                stepper = FusedStepper(model)
+            except Exception as e:
+                logging.warning("--fused unavailable (%s); using the "
+                                "XLA step", e)
     sim = Simulation(model, dt=dt, stop_time=stop_time, stepper=stepper)
     sim.callbacks["progress"] = Callback(
         progress_callback(), IterationInterval(args.progress_every))
 
     def field_outputs():
-        def speed(s):
-            u, v = s.model.velocities(s.state)
-            import swmhd_tpu.operators as op
-            g = s.model.grid
-            return jnp.sqrt(op.ix_c(u, g) ** 2 + op.iy_c(v, g) ** 2)
-        return {
-            "A": lambda s: s.state.A,
-            "h": lambda s: s.state.h,
-            "u": lambda s: s.model.velocities(s.state)[0],
-            "v": lambda s: s.model.velocities(s.state)[1],
-            "s": speed,
-        }
+        # ONE jitted evaluation per snapshot shared by all five outputs:
+        # eagerly computing each field is O(10) device round trips per
+        # write — dominant over a remote-relay TPU link.
+        import swmhd_tpu.operators as op
+
+        @jax.jit
+        def compute(st):
+            u, v = model.velocities(st)
+            g = model.grid
+            s = jnp.sqrt(op.ix_c(u, g) ** 2 + op.iy_c(v, g) ** 2)
+            return {"A": st.A, "h": st.h, "u": u, "v": v, "s": s}
+
+        cache = {}
+
+        def getter(name):
+            def fn(sim):
+                key = id(sim.state)
+                if cache.get("key") != key:
+                    cache["key"] = key
+                    cache["val"] = compute(sim.state)
+                return cache["val"][name]
+            return fn
+        return {name: getter(name) for name in ("A", "h", "u", "v", "s")}
 
     sim.output_writers["fields"] = FieldWriter(
         outputs=field_outputs(),

@@ -172,9 +172,20 @@ class ShallowWaterModel:
             V = vh if vh is not None else v
         else:
             U, V = u, v
-        u_arr, v_arr = self._mask_walls(ev(U, "fc"), ev(V, "cf"))
-        return State(h=ev(h, "cc", 1.0), u=u_arr, v=v_arr,
-                     A=ev(A, "cc"), clock=Clock.zero(g.dtype))
+
+        def build() -> State:
+            u_arr, v_arr = self._mask_walls(ev(U, "fc"), ev(V, "cf"))
+            return State(h=ev(h, "cc", 1.0), u=u_arr, v=v_arr,
+                         A=ev(A, "cc"), clock=Clock.zero(g.dtype))
+
+        # One jitted evaluation instead of O(40) eager ops: over a
+        # remote-relay TPU link each eager op is a network round trip,
+        # turning IC evaluation into the slowest part of small runs.
+        # Callables that resist tracing (e.g. numpy-only) fall back.
+        try:
+            return jax.jit(build)()
+        except Exception:
+            return build()
 
     # -- diagnostics -----------------------------------------------------------
 

@@ -276,7 +276,7 @@ class DomainDecomposition:
     # -- fused (Pallas) sharded step ---------------------------------------------
 
     def fused_step_fn(self, dt, n_steps: int = 1, interpret: bool = False,
-                      tile_x: Optional[int] = None):
+                      tile_x: Optional[int] = None, diagnostics=None):
         """Sharded stepper whose per-substage tendency+update runs the
         fused Pallas kernel on each exchanged padded tile (BASELINE
         ladder rung 4: multi-chip grids with fast stencils).
@@ -293,14 +293,27 @@ class DomainDecomposition:
         the single-device fused path (tests/test_parallel.py pins
         sharded-fused == single-device-XLA in interpret mode).
 
-        Requires doubly-periodic topology (the fused kernel's
-        restriction) and nx % 8 == 0 per tile."""
+        Requires periodic x; y may additionally be BOUNDED when the y
+        mesh axis is unsharded (py == 1): each tile then holds complete
+        y rows, so the kernel's in-row wall machinery is exact with
+        local == global indices, exactly as on a single chip (r4,
+        VERDICT item 2). ``diagnostics`` follows the ``step_fn``
+        contract: in-graph per-step scalar series, reductions over the
+        sharded global state.
+
+        nx per tile must be divisible by 8 (Mosaic sublane alignment)."""
         from ..ops.fused_step import (
             build_fused_calls, DEFAULT_HALO, SUBSTAGE_RADIUS)
 
         g = self.model.grid
-        if g.topology_x != PERIODIC or g.topology_y != PERIODIC:
-            raise ValueError("fused sharded step: periodic topology only")
+        if g.topology_x != PERIODIC:
+            raise ValueError("fused sharded step: periodic x required")
+        y_sharded = self.py > 1
+        if y_sharded and g.topology_y != PERIODIC:
+            raise ValueError(
+                "fused sharded step: BOUNDED y needs the y mesh axis "
+                "unsharded (py == 1) so each tile holds complete rows; "
+                f"got py={self.py}")
         He = self.halo
         if He % 8 or He < SUBSTAGE_RADIUS:
             raise ValueError(
@@ -308,33 +321,58 @@ class DomainDecomposition:
                 f"{SUBSTAGE_RADIUS} (got {He}); construct the "
                 f"DomainDecomposition with halo=8")
         nx, ny = self.nx, self.ny
-        # Mosaic HBM window DMAs require the minor (lane) dim of the
-        # sliced memref 128-aligned; round the padded tile width up with
-        # dead columns. The kernel's periodic y-rolls then wrap garbage
-        # into a ring < substage-radius wide at BOTH pad edges; the crop
-        # margin He (>= 8 > 6) keeps the interior clear of it.
         LANE = 128
-        ny_pad = ny + 2 * He
-        ny_k = ((ny_pad + LANE - 1) // LANE) * LANE
+        if y_sharded:
+            # Mosaic HBM window DMAs require the minor (lane) dim of the
+            # sliced memref 128-aligned; round the padded tile width up
+            # with dead columns. The kernel's periodic y-rolls then wrap
+            # garbage into a ring < substage-radius wide at BOTH pad
+            # edges; the crop margin He (>= 8 > 6) keeps the interior
+            # clear of it.
+            ny_pad = ny + 2 * He
+            ny_k = ((ny_pad + LANE - 1) // LANE) * LANE
+            topo_y = PERIODIC
+        else:
+            # y unsharded: the tile holds the FULL y extent, so the
+            # kernel wraps (periodic) or applies walls (bounded) exactly
+            # as the single-chip fused path does — no y pad, no garbage.
+            if not interpret and ny % LANE:
+                raise ValueError(
+                    f"fused sharded step needs Ny % {LANE} == 0 when the "
+                    f"y axis is unsharded (Mosaic lane alignment); "
+                    f"Ny={ny}")
+            ny_pad = ny_k = ny
+            topo_y = g.topology_y
         # the kernel's "global" grid is the unpadded tile extent in x and
         # the PADDED extent in y (full rows resident per window)
         tile_grid = dataclasses.replace(
-            g, Nx=nx, Ny=ny_k, Lx=g.dx * nx, Ly=g.dy * ny_k)
+            g, Nx=nx, Ny=ny_k, Lx=g.dx * nx, Ly=g.dy * ny_k,
+            topology_y=topo_y)
         tile_model = dataclasses.replace(self.model, grid=tile_grid)
         calls, Tx, Hk = build_fused_calls(
             tile_model, dt, tile_x=tile_x, halo=He, interpret=interpret)
         assert Hk == He
 
+        def pad_x(a):
+            return _halo_pad_axis(a, He, AXIS_X, 0, self.px, True)
+
         def local_step(h, u, v, A, t, it):
             fields = (h, u, v, A)
             G_prev = ()
             for call in calls:
-                padded = [jnp.pad(self._pad(f),
-                                  ((0, 0), (0, ny_k - ny_pad)))
-                          for f in fields]
+                if y_sharded:
+                    padded = [jnp.pad(self._pad(f),
+                                      ((0, 0), (0, ny_k - ny_pad)))
+                              for f in fields]
+                else:
+                    padded = [pad_x(f) for f in fields]
                 tarr = t.reshape(1).astype(g.dtype)
                 out = call(tarr, *padded, *G_prev)
-                fields = tuple(f[He:He + nx, He:He + ny] for f in out[:4])
+                if y_sharded:
+                    fields = tuple(f[He:He + nx, He:He + ny]
+                                   for f in out[:4])
+                else:
+                    fields = tuple(f[He:He + nx, :] for f in out[:4])
                 G_prev = out[4:]
             return (*fields, t + dt, it + 1)
 
@@ -351,13 +389,49 @@ class DomainDecomposition:
                                   length=n_steps)
             return out
 
-        def fn(state: State) -> State:
-            h, u, v, A, t, it = sharded_steps(
-                state.h, state.u, state.v, state.A,
-                state.clock.time, state.clock.iteration)
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(fspec, fspec, fspec, fspec, P(), P()),
+                 out_specs=(fspec, fspec, fspec, fspec, P(), P()),
+                 check_vma=False)
+        def sharded_one(h, u, v, A, t, it):
+            return local_step(h, u, v, A, t, it)
+
+        def pack(parts):
+            h, u, v, A, t, it = parts
             return State(h=h, u=u, v=v, A=A,
                          clock=Clock(time=t, iteration=it))
+
+        if diagnostics is None:
+            def fn(state: State) -> State:
+                return pack(sharded_steps(
+                    state.h, state.u, state.v, state.A,
+                    state.clock.time, state.clock.iteration))
+            return fn
+
+        def fn(state: State):
+            def body(s, _):
+                s2 = pack(sharded_one(s.h, s.u, s.v, s.A,
+                                      s.clock.time, s.clock.iteration))
+                return s2, diagnostics(s2)
+            out, series = jax.lax.scan(body, state, None, length=n_steps)
+            return out, series
         return fn
+
+    def fused_stepper(self, tile_x: Optional[int] = None,
+                      interpret: bool = False):
+        """Simulation-compatible stepper driving :meth:`fused_step_fn`
+        (the sharded analog of ``ops.fused_step.FusedStepper``): pass as
+        ``Simulation(model, ..., stepper=dd.fused_stepper())``."""
+        dd = self
+
+        class _FusedDDStepper:
+            model = dd.model
+
+            def step_fn(self, dt, n_steps: int = 1, diagnostics=None):
+                return dd.fused_step_fn(dt, n_steps, interpret=interpret,
+                                        tile_x=tile_x,
+                                        diagnostics=diagnostics)
+        return _FusedDDStepper()
 
     # -- public step -----------------------------------------------------------------
 

@@ -35,6 +35,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: designed to run on the real TPU backend "
+        "(SWMHD_TEST_TPU=1); everything else assumes the f64 CPU mesh")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Under SWMHD_TEST_TPU=1 x64 stays disabled, so every f64
+    interpret-mode test (rtol 1e-12) would fail spuriously on
+    downcast-to-f32 arrays — auto-skip everything not marked ``tpu``
+    instead of relying on a ``-k tpu`` convention (advisor r3)."""
+    if not _USE_TPU:
+        return
+    skip = pytest.mark.skip(
+        reason="SWMHD_TEST_TPU=1: f64 CPU-mesh test (not marked tpu)")
+    for item in items:
+        if "tpu" not in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -114,6 +114,7 @@ def test_fused_bounded_x_rejected():
         fused_step_fn(model, 0.01, interpret=True)
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="real-TPU fused==XLA equality (VERDICT r2 item 6)")
 @pytest.mark.parametrize("mosaic_roll", ["0", "1"])
@@ -147,6 +148,7 @@ def test_fused_matches_xla_on_tpu(monkeypatch, mosaic_roll):
             f"{mosaic_roll})")
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="real-TPU bounded-y fused==XLA equality")
 def test_fused_bounded_y_matches_xla_on_tpu():
@@ -165,4 +167,97 @@ def test_fused_bounded_y_matches_xla_on_tpu():
         scale = np.max(np.abs(b)) + 1e-30
         assert np.max(np.abs(a - b)) / scale < 2e-5, (
             f"{name}: bounded-y fused deviates from XLA on TPU by "
+            f"{np.max(np.abs(a - b)) / scale:.2e}")
+
+
+class TestResident:
+    """resident_step_fn: whole-state-in-VMEM multi-step kernel (the 512²
+    ladder rung fix, VERDICT r3 item 4) == the XLA step, all topologies."""
+
+    @pytest.mark.parametrize("formulation", [VECTOR_INVARIANT, CONSERVATIVE])
+    def test_resident_matches_reference_step(self, formulation):
+        from swmhd_tpu.ops.fused_step import resident_step_fn
+        model, state = build(formulation, N=64)
+        dt = 0.01
+        ref = jax.jit(model.step_fn(dt, 3))(state)
+        out = resident_step_fn(model, dt, n_steps=3, interpret=True)(state)
+        for name in ("h", "u", "v", "A"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=1e-12, atol=1e-12, err_msg=f"{name} ({formulation})")
+        assert float(out.clock.time) == pytest.approx(float(ref.clock.time))
+        assert int(out.clock.iteration) == 3
+
+    @pytest.mark.parametrize("topology", [("periodic", "bounded"),
+                                          ("bounded", "bounded")])
+    def test_resident_bounded_topologies(self, topology):
+        """Full arrays resident => wall machinery exact in BOTH axes —
+        topologies the windowed kernel cannot run (bounded x)."""
+        from swmhd_tpu.ops.fused_step import resident_step_fn
+        g = Grid.regular(64, 64, (-L / 2, L / 2), (-L / 2, L / 2),
+                         topology=topology, dtype=jnp.float64)
+        model = ShallowWaterModel(grid=g, formulation=VECTOR_INVARIANT,
+                                  coriolis=FPlane(1.0),
+                                  forcing=jacobian_lorentz_forcing())
+        state = model.initial_state(
+            u=lambda x, y: 0.2 * jnp.sin(jnp.pi * x / 5)
+            * jnp.sin(jnp.pi * y / 5),
+            h=lambda x, y: 1.0 + 0.05 * jnp.exp(-(x**2 + y**2)),
+            A=lambda x, y: 0.5 * jnp.exp(-(x**2 + y**2)))
+        dt = 0.005
+        ref = jax.jit(model.step_fn(dt, 2))(state)
+        out = resident_step_fn(model, dt, n_steps=2, interpret=True)(state)
+        for name in ("h", "u", "v", "A"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=1e-12, atol=1e-12, err_msg=f"{name} {topology}")
+
+    def test_resident_with_diagnostics_series(self):
+        from swmhd_tpu.ops.fused_step import resident_step_fn
+        model, state = build(VECTOR_INVARIANT, N=64)
+        dt = 0.01
+
+        def diag(s):
+            return {"mass": jnp.sum(s.h)}
+        ref_state = jax.jit(model.step_fn(dt, 3))(state)
+        out, series = resident_step_fn(model, dt, n_steps=3,
+                                       interpret=True,
+                                       diagnostics=diag)(state)
+        assert series["mass"].shape == (3,)
+        np.testing.assert_allclose(np.asarray(out.h),
+                                   np.asarray(ref_state.h),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(float(series["mass"][-1]),
+                                   float(jnp.sum(ref_state.h)), rtol=1e-12)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-TPU resident==XLA equality")
+def test_resident_matches_xla_on_tpu():
+    """Compiled (Mosaic) agreement of the resident multi-step kernel at
+    512² f32 over 10 steps — the bench-ladder path for small grids."""
+    from swmhd_tpu.ops.fused_step import resident_step_fn
+    g = Grid.regular(512, 512, (-L / 2, L / 2), (-L / 2, L / 2),
+                     dtype=jnp.float32)
+    model = ShallowWaterModel(grid=g, formulation=VECTOR_INVARIANT,
+                              coriolis=FPlane(1.0),
+                              forcing=jacobian_lorentz_forcing())
+    state = model.initial_state(
+        u=lambda x, y: 5 * y * jnp.exp(-(x**2 + y**2)),
+        v=lambda x, y: -5 * x * jnp.exp(-(x**2 + y**2)),
+        h=lambda x, y: 1.0 + 0.05 * jnp.exp(-(x**2 + y**2)),
+        A=lambda x, y: 0.5 * jnp.exp(-((x - 0.5)**2 + y**2))
+        - 0.5 * jnp.exp(-((x + 0.5)**2 + y**2)))
+    dt = 0.002
+    ref = jax.jit(model.step_fn(dt, 10))(state)
+    out = jax.jit(resident_step_fn(model, dt, n_steps=10))(state)
+    for name in ("h", "u", "v", "A"):
+        a = np.asarray(getattr(out, name), dtype=np.float64)
+        b = np.asarray(getattr(ref, name), dtype=np.float64)
+        scale = np.max(np.abs(b)) + 1e-30
+        assert np.max(np.abs(a - b)) / scale < 2e-5, (
+            f"{name}: resident deviates from XLA on TPU by "
             f"{np.max(np.abs(a - b)) / scale:.2e}")

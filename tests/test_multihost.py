@@ -62,6 +62,13 @@ def test_two_process_sharded_step():
         pytest.fail("multihost workers timed out:\n"
                     + "\n---\n".join(outs))
 
+    finally:
+        import shutil
+        import tempfile
+        shutil.rmtree(os.path.join(tempfile.gettempdir(),
+                                   f"swmhd_mh_ckpt_{port}"),
+                      ignore_errors=True)
+
     for i, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0 and ("distributed" in out.lower()
                                   and "unimplemented" in out.lower()):

@@ -275,3 +275,107 @@ def test_sharded_fused_matches_single_device(formulation):
         np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12,
                                    err_msg=f"fused-sharded {name}")
     assert float(out.clock.time) == pytest.approx(n_steps * dt)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """save_sharded -> restore_sharded -> resume == uninterrupted on the
+    8-device mesh (single process; the 2-process variant runs in
+    tests/multihost_worker.py). Completes M5's recovery story."""
+    from swmhd_tpu import checkpoint
+    model, state = build(VECTOR_INVARIANT)
+    dt = 0.01
+    mesh = make_mesh(shape=(2, 4))
+    dd = DomainDecomposition(model, mesh)
+    mid = dd.step_fn(dt, 5)(dd.shard_state(state))
+
+    ckdir = str(tmp_path / "ck")
+    checkpoint.save_sharded(ckdir, mid, model.grid, mesh)
+    back = checkpoint.restore_sharded(ckdir, model.grid, mesh)
+    assert int(back.clock.iteration) == 5
+    for name in ("h", "u", "v", "A"):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(getattr(back, name))),
+            np.asarray(jax.device_get(getattr(mid, name))), err_msg=name)
+
+    resumed = dd.step_fn(dt, 5)(back)
+    full = jax.jit(model.step_fn(dt, 10))(state)
+    for name in ("h", "u", "v", "A"):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(getattr(resumed, name))),
+            np.asarray(getattr(full, name)),
+            rtol=1e-12, atol=1e-12, err_msg=f"resumed {name}")
+
+    # restore under a DIFFERENT mesh layout still assembles correctly
+    mesh2 = make_mesh(shape=(4, 2))
+    back2 = checkpoint.restore_sharded(ckdir, model.grid, mesh2)
+    for name in ("h", "u", "v", "A"):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(getattr(back2, name))),
+            np.asarray(jax.device_get(getattr(mid, name))),
+            err_msg=f"relayout {name}")
+
+
+def test_sharded_fused_bounded_y_matches_single_device():
+    """Bounded-y walls through the sharded fused path: legal when the y
+    mesh axis is unsharded (py == 1) — each tile holds complete rows, so
+    the kernel's in-row wall machinery is exact (VERDICT r3 item 2)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    from swmhd_tpu import scenarios
+    model, state, sc = scenarios.build("64x64_low_B_low_U",
+                                       VECTOR_INVARIANT,
+                                       dtype=jnp.float64)
+    n_steps, dt = 3, sc.dt
+    ref = jax.jit(model.step_fn(dt, n_steps))(state)
+
+    mesh = make_mesh(shape=(4, 1))
+    dd = DomainDecomposition(model, mesh, halo=8)
+    out = jax.jit(dd.fused_step_fn(dt, n_steps, interpret=True))(
+        dd.shard_state(state))
+    for name in ("h", "u", "v", "A"):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(getattr(out, name))),
+            np.asarray(getattr(ref, name)),
+            rtol=1e-12, atol=1e-12, err_msg=f"fused-sharded bounded {name}")
+
+    # bounded y with a sharded y axis must be rejected loudly
+    dd2 = DomainDecomposition(model, make_mesh(shape=(2, 2)), halo=8)
+    with pytest.raises(ValueError, match="py == 1"):
+        dd2.fused_step_fn(dt, 1, interpret=True)
+
+
+def test_sharded_fused_with_series(tmp_path):
+    """dd.fused_stepper() drives a Simulation with in-graph scalar
+    series — final state AND series match the single-device XLA run
+    (VERDICT r3 item 2: the fused sharded path is Simulation-grade)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    from swmhd_tpu import Simulation, IterationInterval, diagnostics
+    from swmhd_tpu.io import ScalarSeriesWriter
+
+    def run(stepper_factory, out, state, model):
+        h0 = state.h
+        sim = Simulation(model, dt=0.01, stop_iteration=4,
+                         stepper=stepper_factory() if stepper_factory
+                         else None)
+        sim.output_writers["energies"] = ScalarSeriesWriter(
+            fn=lambda m, s: {"te": diagnostics.energy_report(m, s, h0)
+                             ["total_energy"]},
+            schedule=IterationInterval(1), path=str(out))
+        return sim.run(state)
+
+    model, state = build(VECTOR_INVARIANT)
+    ref = run(None, tmp_path / "ref.csv", state, model)
+
+    mesh = make_mesh(shape=(2, 2))
+    dd = DomainDecomposition(model, mesh, halo=8)
+    fused = run(lambda: dd.fused_stepper(interpret=True),
+                tmp_path / "fused.csv", dd.shard_state(state), model)
+    for name in ("h", "u", "v", "A"):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(getattr(fused, name))),
+            np.asarray(getattr(ref, name)),
+            rtol=1e-12, atol=1e-12, err_msg=name)
+    a = np.loadtxt(tmp_path / "ref.csv", delimiter=",", skiprows=1)
+    b = np.loadtxt(tmp_path / "fused.csv", delimiter=",", skiprows=1)
+    np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-12)
