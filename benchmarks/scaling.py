@@ -47,9 +47,10 @@ def build_model(Nx, Ny):
     return model, state
 
 
-def bench_config(n_dev, Nx, Ny, steps, overlap, dt=1e-3):
+def bench_config(n_dev, Nx, Ny, steps, overlap, dt=1e-3,
+                 want_overlap_pct=False):
     from swmhd_tpu.parallel import DomainDecomposition, make_mesh
-    from swmhd_tpu.profiling import benchmark_step
+    from swmhd_tpu.profiling import benchmark_step, measure_overlap
     model, state = build_model(Nx, Ny)
     if n_dev == 1:
         step = jax.jit(model.step_fn(dt, steps))
@@ -60,7 +61,18 @@ def bench_config(n_dev, Nx, Ny, steps, overlap, dt=1e-3):
                                  overlap=overlap)
         st = dd.shard_state(state)
         step = dd.step_fn(dt, steps)
-    return benchmark_step(step, st, steps, n_calls=3)
+    b = benchmark_step(step, st, steps, n_calls=3)
+    ov = None
+    if want_overlap_pct and n_dev > 1:
+        # the BASELINE "overlap % tracked" metric: fraction of collective
+        # (halo-exchange) time covered by concurrent compute in a
+        # profiler trace of the sharded step (thread-level on the CPU
+        # fake mesh; device-lane-level on real TPU traces)
+        try:
+            ov = measure_overlap(step, st)
+        except Exception as e:  # tracing unsupported on some backends
+            ov = {"overlap_pct": None, "error": str(e)}
+    return b, ov
 
 
 def main():
@@ -87,7 +99,8 @@ def main():
         else:
             Nx = Ny = args.global_size
         for overlap in ((False, True) if n > 1 else (False,)):
-            b = bench_config(n, Nx, Ny, args.steps, overlap)
+            b, ov = bench_config(n, Nx, Ny, args.steps, overlap,
+                                 want_overlap_pct=True)
             per_dev = b.points_per_s / n
             if base is None:
                 base = per_dev
@@ -96,6 +109,11 @@ def main():
             row = {"devices": n, "grid": [Nx, Ny], "overlap": overlap,
                    "points_per_s": round(b.points_per_s, 1),
                    "efficiency": round(eff, 3)}
+            if ov is not None:
+                row["overlap_pct"] = (None if ov.get("overlap_pct") is None
+                                      else round(ov["overlap_pct"], 1))
+                row["comm_ms"] = round(ov.get("comm_ms", 0.0), 2) \
+                    if "comm_ms" in ov else None
             results.append(row)
             print(json.dumps(row), flush=True)
 

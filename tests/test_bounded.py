@@ -98,3 +98,35 @@ def test_gravity_wave_reflects_not_wraps():
     mask = (Yc >= -4.0) & (Yc <= -2.5)
     assert refl[mask].max() > 0.3 * np.abs(refl[mask]).max()
     assert np.isfinite(np.asarray(hb)).all()
+
+
+def test_wall_adjacent_vorticity_flux_pinned():
+    """Golden regression of the WENO vorticity flux on a bounded-y grid
+    (advisor r3): the r3 shared-beta refactor changed near-wall values at
+    more than roundoff and was covered only by the statistical scenario
+    envelopes — this pins the exact current values (fixture generated
+    from the shipped implementation) so future refactors cannot silently
+    shift wall-adjacent behavior again."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from swmhd_tpu import Grid, ShallowWaterModel, FPlane, VECTOR_INVARIANT
+    import swmhd_tpu.operators as op
+
+    fix = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                               "wall_vorticity_flux_32x32.npz"))
+    g = Grid.regular(32, 32, (-5, 5), (-5, 5),
+                     topology=("periodic", "bounded"), dtype=jnp.float64)
+    model = ShallowWaterModel(grid=g, formulation=VECTOR_INVARIANT,
+                              coriolis=FPlane(1.0))
+    u = jnp.asarray(fix["u"])
+    v = jnp.asarray(fix["v"])
+    zeta = op.vorticity_ff(u, v, g)
+    vu, vv = model._weno_vorticity_flux(u, v, zeta, g)
+    np.testing.assert_allclose(np.asarray(vu), fix["vort_u"],
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(vv), fix["vort_v"],
+                               rtol=1e-12, atol=1e-14)
+    # the wall-adjacent bands are the point of this pin: non-trivial there
+    assert np.max(np.abs(fix["vort_u"][:, :3])) > 0
+    assert np.max(np.abs(fix["vort_u"][:, -3:])) > 0

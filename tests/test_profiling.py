@@ -30,3 +30,35 @@ def test_process_local_slab_single_process():
     # single process owns everything
     assert (x0, x1) == (0, 16)
     assert (y0, y1) == (0, 16)
+
+
+def test_measure_overlap_tooling():
+    """The BASELINE 'overlap % tracked' metric has a runnable
+    implementation (VERDICT r3 item 3): profile the sharded step on the
+    CPU fake mesh and get well-formed comm/compute/overlap stats out of
+    the Perfetto trace. On CPU the number is thread-level (collectives
+    appear as rendezvous events) — the assertion is on tooling shape,
+    not on an ICI overlap value only real hardware can produce."""
+    import jax
+    import jax.numpy as jnp
+    from swmhd_tpu import (Grid, ShallowWaterModel, FPlane,
+                           VECTOR_INVARIANT)
+    from swmhd_tpu.parallel import DomainDecomposition, make_mesh
+    from swmhd_tpu.profiling import measure_overlap
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs the virtual device mesh")
+    g = Grid.regular(64, 64, (-5, 5), (-5, 5), dtype=jnp.float64)
+    model = ShallowWaterModel(grid=g, formulation=VECTOR_INVARIANT,
+                              coriolis=FPlane(1.0))
+    state = model.initial_state(h=1.0,
+                                A=lambda x, y: jnp.exp(-(x**2 + y**2)))
+    dd = DomainDecomposition(model, make_mesh(shape=(2, 2)))
+    step = dd.step_fn(1e-3, 2)
+    ov = measure_overlap(step, dd.shard_state(state))
+    assert ov.get("error") is None or "error" not in ov, ov
+    assert ov["n_comm_events"] > 0, ov
+    assert ov["n_compute_events"] > 0, ov
+    assert ov["comm_ms"] >= 0 and ov["compute_ms"] > 0, ov
+    assert ov["overlap_pct"] is None or 0 <= ov["overlap_pct"] <= 100, ov
