@@ -164,6 +164,38 @@ def score_pair(ref_panel, our_panel, ref_table, our_table):
             "spearman": round(rho, 4)}
 
 
+def recolor_compare(formulation, scenario, pairs):
+    """Side-by-side PNG with BOTH sides in the reference's colormap:
+    our decoded panel values are re-rendered through the calibrated
+    :deep table, so the eyeball comparison is like-for-like (the r3
+    viridis-vs-deep lightness inversion disappears). ``pairs`` =
+    [(tag, t, ref_frame_panels, our_value_panels)]."""
+    import cv2
+    deep = calibrate_deep()
+    rows = []
+    for tag, t, ref_panels, our_values in pairs:
+        cells = []
+        for rp, ov in zip(ref_panels, our_values):
+            h, w = rp.shape[:2]
+            ov_img = deep[np.clip((ov * 255).astype(int), 0, 255)]
+            ov_img = cv2.resize(ov_img.astype(np.uint8), (w, h))
+            pad = np.full((h, 8, 3), 255, np.uint8)
+            cells += [rp, pad, ov_img, pad]
+        row = np.hstack(cells[:-1])
+        bar = np.full((26, row.shape[1], 3), 255, np.uint8)
+        cv2.putText(bar, f"t={t:.1f}   [ref A | ours A | ref s | ours s]"
+                    " (both in the reference's :deep colormap)",
+                    (6, 18), cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 0, 0), 1,
+                    cv2.LINE_AA)
+        rows += [bar, row]
+    maxw = max(r.shape[1] for r in rows)
+    rows = [np.pad(r, ((0, 0), (0, maxw - r.shape[1]), (0, 0)),
+                   constant_values=255) for r in rows]
+    out = os.path.join(OUT, f"compare_deep_{formulation}_{scenario}.png")
+    cv2.imwrite(out, np.vstack(rows))
+    return out
+
+
 def score_movie(formulation, scenario, our_mp4, our_frames,
                 our_style="viridis"):
     ref_mp4 = os.path.join(REF, FORM_DIR[formulation], f"{scenario}.mp4")
@@ -175,6 +207,7 @@ def score_movie(formulation, scenario, our_mp4, our_frames,
     n = min(nref, our_frames - 1)
     targets = {"t0": 0, "mid": n // 2, "end": n - 1}
     out = {}
+    recolor_pairs = []
     for tag, ri in targets.items():
         rframe, _ = read_frame(ref_mp4, ri)
         oframe, _ = read_frame(our_mp4, ri + 1)
@@ -184,13 +217,19 @@ def score_movie(formulation, scenario, our_mp4, our_frames,
             out[tag] = {"error": f"panels {len(rboxes)}/{len(oboxes)}"}
             continue
         entry = {"t": round(0.1 * (ri + 1), 2)}
+        ref_panels, our_values = [], []
         for name, k in (("A", 0), ("s", 1)):
             rp = rframe[rboxes[k][2]:rboxes[k][3],
                         rboxes[k][0]:rboxes[k][1]]
             op_ = oframe[oboxes[k][2]:oboxes[k][3],
                          oboxes[k][0]:oboxes[k][1]]
             entry[name] = score_pair(rp, op_, deep, vir)
+            ref_panels.append(rp)
+            our_values.append(invert_panel(op_, vir))
         out[tag] = entry
+        recolor_pairs.append((tag, entry["t"], ref_panels, our_values))
+    if recolor_pairs:
+        recolor_compare(formulation, scenario, recolor_pairs)
     return out
 
 
