@@ -93,9 +93,17 @@ def measure_flops_per_point(probe_N=512):
         return None
 
 
-def bench_one(N, use_fused, steps_per_call=10, n_calls=5):
+def bench_one(N, use_fused, steps_per_call=None, n_calls=5):
     from swmhd_tpu.profiling import benchmark_step
     model, state = build(N)
+    if steps_per_call is None:
+        # Scale work per timed repetition to ~2e9 grid-point-steps
+        # (~2 s at the ~1e9 pts/s device rate) so the axon relay's fixed
+        # per-sync tail (~25 ms measured r4) biases the rate < ~2%. At
+        # the r3 protocol (50 steps/rep) the tail understated 2048^2 by
+        # ~11% and the 512^2 resident rung by ~3x (PERFORMANCE.md r4).
+        target_pt_steps = 2e9
+        steps_per_call = max(10, int(target_pt_steps / (N * N * n_calls)))
     if use_fused:
         from swmhd_tpu.ops.fused_step import (
             fused_step_fn, resident_step_fn, resident_vmem_bytes,

@@ -12,14 +12,12 @@ jax.config.update("jax_compilation_cache_dir",
                       os.path.abspath(__file__))), ".jax_tpu_cache"))
 
 from bench import build                              # noqa: E402
-from swmhd_tpu.ops.slab_step import slab_step_fn     # noqa: E402
 
 N = int(os.environ.get("SWMHD_BENCH_N", "512"))
 which = os.environ.get("WHICH", "xla")
 model, state = build(N)
 
-fn = (model.step_fn(0.001, 1) if which == "xla"
-      else slab_step_fn(model, 0.001, n_steps=1))
+fn = model.step_fn(0.001, 1)  # (the slab variant was retired in r4)
 compiled = jax.jit(fn).lower(state).compile()
 hlo = compiled.as_text()
 

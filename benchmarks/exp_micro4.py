@@ -89,7 +89,6 @@ delta("weno_x", weno_x, 2 * fb)
 
 # the real thing: full RK3 step, both paths
 from bench import build                              # noqa: E402
-from swmhd_tpu.ops.slab_step import slab_step_fn     # noqa: E402
 
 model, state = build(N)
 
@@ -114,4 +113,3 @@ def step_delta(name, mk, lo=10, hi=60):
 
 
 step_delta("step-roll", lambda n: model.step_fn(0.001, n))
-step_delta("step-slab", lambda n: slab_step_fn(model, 0.001, n_steps=n))

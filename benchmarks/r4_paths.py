@@ -50,11 +50,12 @@ def steppers(N, model):
     from swmhd_tpu.ops.fused_step import (
         fused_step_fn, resident_step_fn, resident_vmem_bytes,
         _vmem_limit_bytes, pallas_available)
-    from swmhd_tpu.ops.slab_step import slab_step_fn
     steps = 10
     out = {
         "xla-padroll": lambda: jax.jit(model.step_fn(1e-3, steps)),
-        "slab": lambda: jax.jit(slab_step_fn(model, 1e-3, steps)),
+        # the halo-slab XLA path was measured here (PATHS_r04.json: 1.5e8
+        # pts/s at 512^2, 7.6e7 at 2048^2 — strictly dominated by both
+        # pad-roll XLA and fused) and retired; see PERFORMANCE.md.
     }
     if pallas_available():
         out["fused"] = lambda: jax.jit(fused_step_fn(model, 1e-3, steps))

@@ -44,11 +44,7 @@ from . import operators as op
 def upwind_biased_product(u_t, pl_, pr):
     """((ũ+|ũ|)ψᴸ + (ũ−|ũ|)ψᴿ)/2 — pick the upwind reconstruction.
 
-    Reference: sw_mhd_divergence_functions.jl:3.
-
-    Uses builtin ``abs`` (dispatches through ``__abs__``) so the halo-slab
-    fast path (swmhd_tpu.ops.slab_step) can flow its extent-tracking
-    wrapper through unchanged."""
+    Reference: sw_mhd_divergence_functions.jl:3."""
     return 0.5 * ((u_t + abs(u_t)) * pl_ + (u_t - abs(u_t)) * pr)
 
 
@@ -229,11 +225,7 @@ def _eps_for(b):
 
 
 def _is_f64(b):
-    # b may be a plain array or a Slab extent wrapper (ops.slab_step)
-    dt = getattr(b, "dtype", None)
-    if dt is None:
-        dt = b.data.dtype
-    return dt == jnp.float64
+    return b.dtype == jnp.float64
 
 
 def _normalize_betas(b, eps):

@@ -213,7 +213,7 @@ class ShallowWaterModel:
         shifted array is wrap-padded once and sliced, which XLA fuses,
         instead of materialising one copy per roll — bitwise-identical
         values, ~1.6x faster step on TPU (benchmarks/exp_padroll.py). The
-        scope yields to the slab / fused-Pallas hooks when those are
+        scope yields to the fused-Pallas kernel roll hook when that is
         active."""
         with op.pad_roll_scope():
             if self.formulation == VECTOR_INVARIANT:

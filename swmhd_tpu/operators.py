@@ -168,8 +168,8 @@ def make_pad_roll(radius: int = 4):
 
 class pad_roll_scope:
     """Context manager installing a fresh pad-memo roll for one tendency
-    trace. A no-op when a specialised hook (slab, fused-kernel) is already
-    installed, so fast paths compose instead of fighting."""
+    trace. A no-op when a specialised hook (the fused-kernel roll) is
+    already installed, so fast paths compose instead of fighting."""
 
     def __init__(self, radius: int = 4):
         self.radius = radius

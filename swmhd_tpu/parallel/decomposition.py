@@ -53,6 +53,9 @@ def make_mesh(n_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(f"make_mesh: asked for {n_devices} devices, "
+                             f"have {len(devices)}")
         devices = devices[:n_devices]
     if shape is not None:
         need = shape[0] * shape[1]
