@@ -33,6 +33,7 @@ import dataclasses
 import os
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from .grid import Grid, BOUNDED
@@ -210,13 +211,15 @@ _GAMMA = (0.1, 0.6, 0.3)
 # constant fields). Instead of flooring eps at 1e-6 (which r3 root-caused
 # as linearizing the nonlinear weights at >=128^2 and producing
 # unphysical energy growth — benchmarks/exp/r3_eps_sweep.py), non-f64
-# evaluation first rescales (betas, eps) by 1/(b0+b1+b2+eps). The weights
-# are a degree-0 homogeneous rational function of (beta_k+eps), so the
-# rescaling changes nothing in exact arithmetic, while every intermediate
-# lands in [~(eps')^2, O(1)] — safely inside the f32 normal range. f32
-# therefore keeps the production eps=1e-8 semantics of the validated f64
-# path (tests/test_advection.py::TestF32Weights pins f32==f64 weights in
-# the 128^2 beta regime where the old floor diverged).
+# evaluation first rescales (betas, eps) by the power of two nearest
+# 1/(b0+b1+b2+eps) (read off the sum's exponent bits — no divide, and
+# the scaling is exact in floating point). The weights are a degree-0
+# homogeneous rational function of (beta_k+eps), so the rescaling changes
+# nothing in exact arithmetic, while every intermediate lands in
+# [~(eps')^2, O(1)] — safely inside the f32 normal range. f32 therefore
+# keeps the production eps=1e-8 semantics of the validated f64 path
+# (tests/test_advection.py::TestF32Weights pins f32==f64 weights in the
+# 128^2 beta regime where the old floor diverged).
 
 
 def _eps_for(b):
@@ -229,10 +232,25 @@ def _is_f64(b):
 
 
 def _normalize_betas(b, eps):
-    """Rescale (b0,b1,b2,eps) by 1/(b0+b1+b2+eps) — exact-arithmetic
-    no-op for the weight formulas (all degree-0 homogeneous in beta+eps),
-    keeps every f32 intermediate inside the normal range at eps=1e-8."""
-    inv = 1.0 / (b[0] + b[1] + b[2] + eps)
+    """Rescale (b0,b1,b2,eps) by ~1/(b0+b1+b2+eps) — an exact-arithmetic
+    no-op for the weight formulas (all degree-0 homogeneous in beta+eps)
+    that keeps every f32 intermediate inside the normal range at eps=1e-8.
+
+    The scale only needs to be NEAR 1/sum, so f32 uses the exact
+    power of two 2^-e (sum = m·2^e, m∈[1,2)) read straight off the
+    exponent bits: no divide (a multi-pass op on the TPU VPU — the 1/sum
+    form cost ~9% of the 4096² step, PERFORMANCE.md r4), and scaling by
+    a power of two is EXACT in floating point, so the f32 weights sit at
+    pure-roundoff distance from the f64 path's
+    (tests/test_advection.py::TestF32Weights)."""
+    s = b[0] + b[1] + b[2] + eps
+    if s.dtype == jnp.float32:
+        bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+        inv = jax.lax.bitcast_convert_type(
+            jnp.int32(0x7F000000) - (bits & jnp.int32(0x7F800000)),
+            jnp.float32)
+    else:
+        inv = 1.0 / s
     return (b[0] * inv, b[1] * inv, b[2] * inv), eps * inv
 
 
