@@ -149,8 +149,14 @@ def default_tile_x(Nx: int, Ny: int, halo: int = DEFAULT_HALO,
                    vmem_budget: int = 12 * 2 ** 20,
                    live_windows: int = 24) -> int:
     """Largest 8-aligned Tx dividing Nx whose working set (~live_windows
-    full-width temporaries of the WENO tendency graph) fits the budget."""
+    full-width temporaries of the WENO tendency graph) fits the budget,
+    floored at 32 rows: with the 8+8-row halo, Tx=16 recomputes 50% of
+    every window (measured r4 at 4096²: 9.84e8 pts/s at Tx=16 vs
+    1.059e9 at Tx=32, while Tx=64 drops back to 9.7e8 — less window
+    pipelining), and Tx=32 keeps the working set ~19 MB even at
+    Ny=4096, well under the 114 MiB scoped-VMEM limit."""
     cap = max(SUBLANE, vmem_budget // (live_windows * Ny * 4) - 2 * halo)
+    cap = max(cap, 32)
     t = min(Nx, cap - cap % SUBLANE)
     t = max(t, SUBLANE)
     while Nx % t:
