@@ -139,12 +139,29 @@ def cmd_run(args):
                 logging.warning("--fused sharded unavailable (%s); "
                                 "using the XLA step", e)
         else:
+            # single chip: whole-state-resident multi-step kernel when
+            # the state fits VMEM (1 launch per jitted chunk instead of
+            # 3 per step — the small-grid fast path), else the windowed
+            # fused kernel.
+            from .ops.fused_step import (ResidentStepper, resident_step_fn,
+                                         resident_vmem_bytes,
+                                         _vmem_limit_bytes)
+            limit = _vmem_limit_bytes() or 16 * 2 ** 20
             try:
-                fused_step_fn(model, dt, 1)  # validate geometry/topology
-                stepper = FusedStepper(model)
-            except Exception as e:
-                logging.warning("--fused unavailable (%s); using the "
-                                "XLA step", e)
+                if resident_vmem_bytes(model) <= 0.85 * limit:
+                    resident_step_fn(model, dt, 1)  # geometry probe
+                    stepper = ResidentStepper(model)
+                    logging.info("resident Pallas stepper "
+                                 "(whole state in VMEM)")
+                else:
+                    raise ValueError("state exceeds VMEM")
+            except Exception:
+                try:
+                    fused_step_fn(model, dt, 1)  # geometry/topology probe
+                    stepper = FusedStepper(model)
+                except Exception as e:
+                    logging.warning("--fused unavailable (%s); using the "
+                                    "XLA step", e)
     sim = Simulation(model, dt=dt, stop_time=stop_time, stepper=stepper)
     sim.callbacks["progress"] = Callback(
         progress_callback(), IterationInterval(args.progress_every))

@@ -232,6 +232,38 @@ class TestResident:
         np.testing.assert_allclose(float(series["mass"][-1]),
                                    float(jnp.sum(ref_state.h)), rtol=1e-12)
 
+    def test_resident_stepper_drives_simulation(self, tmp_path):
+        """Simulation(stepper=ResidentStepper(...)) — the cli --fused
+        small-grid path (r4) — matches the XLA run, final state AND
+        in-graph scalar series."""
+        from swmhd_tpu.ops.fused_step import ResidentStepper
+        from swmhd_tpu import Simulation, IterationInterval, diagnostics
+        from swmhd_tpu.io import ScalarSeriesWriter
+
+        model, state = build(VECTOR_INVARIANT, N=64)
+        h0 = state.h
+
+        def run(stepper, out):
+            sim = Simulation(model, dt=0.01, stop_iteration=5,
+                             stepper=stepper)
+            sim.output_writers["energies"] = ScalarSeriesWriter(
+                fn=lambda m, s: {"te": diagnostics.energy_report(m, s, h0)
+                                 ["total_energy"]},
+                schedule=IterationInterval(1), path=str(out))
+            return sim.run(state)
+
+        ref = run(None, tmp_path / "ref.csv")
+        res = run(ResidentStepper(model, interpret=True),
+                  tmp_path / "res.csv")
+        for name in ("h", "u", "v", "A"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(res, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=1e-12, atol=1e-12, err_msg=name)
+        a = np.loadtxt(tmp_path / "ref.csv", delimiter=",", skiprows=1)
+        b = np.loadtxt(tmp_path / "res.csv", delimiter=",", skiprows=1)
+        np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-12)
+
 
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
