@@ -246,8 +246,16 @@ def _normalize_betas(b, eps):
     s = b[0] + b[1] + b[2] + eps
     if s.dtype == jnp.float32:
         bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+        # Clamp the subtracted exponent field at 1 (2^-126): for beta sums
+        # >= 2^127 (fields ~1e19, already blown up) the difference would
+        # underflow to +0.0, zeroing betas AND eps and turning the weight
+        # combine into 0/0 = NaN where the old 1/s gave a subnormal scale
+        # (advisor r4). With the clamp the scale is merely too small and
+        # the weights degrade gracefully toward the linear ones.
         inv = jax.lax.bitcast_convert_type(
-            jnp.int32(0x7F000000) - (bits & jnp.int32(0x7F800000)),
+            jnp.maximum(
+                jnp.int32(0x7F000000) - (bits & jnp.int32(0x7F800000)),
+                jnp.int32(0x00800000)),
             jnp.float32)
     else:
         inv = 1.0 / s

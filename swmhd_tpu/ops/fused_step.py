@@ -156,7 +156,14 @@ def default_tile_x(Nx: int, Ny: int, halo: int = DEFAULT_HALO,
     pipelining), and Tx=32 keeps the working set ~19 MB even at
     Ny=4096, well under the 114 MiB scoped-VMEM limit."""
     cap = max(SUBLANE, vmem_budget // (live_windows * Ny * 4) - 2 * halo)
-    cap = max(cap, 32)
+    if _vmem_limit_bytes() is not None:
+        # The 32-row floor is a throughput heuristic measured under the
+        # raised (114 MiB-class) scoped-VMEM limit; on generations where
+        # _vmem_limit_bytes() is None (v2/v3, ~16 MiB compiler default)
+        # flooring past the budget-derived cap could exceed VMEM at large
+        # Ny and fail at first compile instead of auto-shrinking
+        # (advisor r4) — keep the pure budget cap there.
+        cap = max(cap, 32)
     t = min(Nx, cap - cap % SUBLANE)
     t = max(t, SUBLANE)
     while Nx % t:

@@ -226,12 +226,15 @@ class TimeStepWizard:
         self.min_change = min_change
         self.min_dt = min_dt
         self.max_dt = max_dt
+        self._cfl_fn = None  # jitted once; dt rides as a traced argument
 
     def __call__(self, sim: "Simulation"):
         from . import diagnostics
-        adv, wave = jax.jit(
-            lambda s, dt: diagnostics.cfl_numbers(sim.model, s, dt)
-        )(sim.state, sim.dt)
+        if self._cfl_fn is None:
+            model = sim.model
+            self._cfl_fn = jax.jit(
+                lambda s, dt: diagnostics.cfl_numbers(model, s, dt))
+        adv, wave = self._cfl_fn(sim.state, sim.dt)
         current = max(float(adv), float(wave))
         if current <= 0:
             return
