@@ -56,10 +56,11 @@ def restore(path: str, grid: Grid | None = None) -> State:
                     f"checkpoint grid {gm['Nx']}x{gm['Ny']} != "
                     f"model grid {grid.Nx}x{grid.Ny}")
         dtype = meta["grid"]["dtype_name"] if grid is None else grid.dtype
+        from .models.state import time_dtype
         return State(
             h=jnp.asarray(z["h"], dtype), u=jnp.asarray(z["u"], dtype),
             v=jnp.asarray(z["v"], dtype), A=jnp.asarray(z["A"], dtype),
-            clock=Clock(time=jnp.asarray(z["time"], dtype),
+            clock=Clock(time=jnp.asarray(z["time"], time_dtype()),
                         iteration=jnp.asarray(z["iteration"], jnp.int32)))
 
 
@@ -202,7 +203,8 @@ def restore_sharded(dirpath: str, grid: Grid, mesh) -> State:
             lambda idx, name=name: assemble(name, idx))
         for name in _FIELDS
     }
+    from .models.state import time_dtype
     return State(
         **fields,
-        clock=Clock(time=jnp.asarray(meta["time"], grid.dtype),
+        clock=Clock(time=jnp.asarray(meta["time"], time_dtype()),
                     iteration=jnp.asarray(meta["iteration"], jnp.int32)))

@@ -176,7 +176,7 @@ class ShallowWaterModel:
         def build() -> State:
             u_arr, v_arr = self._mask_walls(ev(U, "fc"), ev(V, "cf"))
             return State(h=ev(h, "cc", 1.0), u=u_arr, v=v_arr,
-                         A=ev(A, "cc"), clock=Clock.zero(g.dtype))
+                         A=ev(A, "cc"), clock=Clock.zero())
 
         # One jitted evaluation instead of O(40) eager ops: over a
         # remote-relay TPU link each eager op is a network round trip,

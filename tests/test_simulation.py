@@ -224,3 +224,60 @@ class TestFusedStepper:
         a = np.loadtxt(tmp_path / "ref.csv", delimiter=",", skiprows=1)
         b = np.loadtxt(tmp_path / "fused.csv", delimiter=",", skiprows=1)
         np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-12)
+
+
+class TestClockPrecision:
+    """Clock.time is f64 independent of the grid dtype (VERDICT r4 item 6):
+    under f32 production the forcing-hook contract
+    (sw_mhd_jacobian_functions.jl:20-26's ``clock`` argument) must hand
+    user forcings full-precision time, and in-graph time must not
+    accumulate f32 drift (O(1e-2) absolute by t≈70 with t += dt)."""
+
+    def _f32_model(self, forcing=()):
+        g = Grid.regular(16, 16, (-L / 2, L / 2), (-L / 2, L / 2),
+                         dtype=jnp.float32)
+        return ShallowWaterModel(
+            grid=g, momentum_advection=Centered2, mass_advection=Centered2,
+            tracer_advection=Centered2, forcing=forcing)
+
+    def test_clock_dtype_decoupled_from_grid_dtype(self):
+        model = self._f32_model()
+        state = model.initial_state(h=1.0)
+        assert state.h.dtype == jnp.float32
+        assert state.clock.time.dtype == jnp.float64
+
+    def test_10k_steps_in_graph_time_matches_host_time(self):
+        import jax
+        model = self._f32_model()
+        state = model.initial_state(h=1.0)
+        dt = 0.013  # not exactly representable: accumulation must not drift
+        n = 10_000
+        out = jax.jit(model.step_fn(dt, n))(state)
+        assert out.clock.time.dtype == jnp.float64
+        assert abs(float(out.clock.time) - n * dt) < 1e-9
+        assert int(out.clock.iteration) == n
+
+    def test_forcing_receives_f64_time_under_f32_grid(self):
+        import jax
+        seen = {}
+
+        def force_u(grid, clock, fields):
+            seen["dtype"] = clock.time.dtype
+            return jnp.zeros(grid.shape, grid.dtype)
+
+        model = self._f32_model(forcing={"u": force_u})
+        state = model.initial_state(h=1.0)
+        jax.eval_shape(model.tendencies, state)
+        assert seen["dtype"] == jnp.float64
+
+    def test_checkpoint_roundtrip_preserves_f64_time(self, tmp_path):
+        import jax
+        model = self._f32_model()
+        state = model.initial_state(h=1.0)
+        state = jax.jit(model.step_fn(0.013, 7))(state)
+        p = os.path.join(tmp_path, "c.npz")
+        checkpoint.save(p, state, model.grid)
+        back = checkpoint.restore(p, model.grid)
+        assert back.clock.time.dtype == jnp.float64
+        assert float(back.clock.time) == float(state.clock.time)
+        assert back.h.dtype == jnp.float32
