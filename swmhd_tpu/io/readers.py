@@ -31,7 +31,34 @@ class FieldTimeSeries:
     def __getitem__(self, i: int) -> np.ndarray:
         if i < 0:
             i += self._n
-        return np.load(os.path.join(self._dir, f"{i:06d}.npy"))
+        single = os.path.join(self._dir, f"{i:06d}.npy")
+        if os.path.exists(single):
+            return np.load(single)
+        # pod-scale snapshot: stitch the per-process slabs written by
+        # FieldWriter._write_array (one .p<pid>.npz per process, each
+        # carrying its global bounds — no gather happened at write time)
+        import glob
+        slabs = sorted(glob.glob(os.path.join(self._dir,
+                                              f"{i:06d}.p*.npz")))
+        if not slabs:
+            raise FileNotFoundError(
+                f"no snapshot {i:06d} (neither .npy nor .p*.npz) in "
+                f"{self._dir}")
+        out = None
+        filled = 0
+        for path in slabs:
+            with np.load(path) as z:
+                x0, x1, y0, y1 = (int(b) for b in z["bounds"])
+                if out is None:
+                    out = np.empty(tuple(int(s) for s in z["shape"]),
+                                   dtype=z["data"].dtype)
+                out[x0:x1, y0:y1] = z["data"]
+                filled += (x1 - x0) * (y1 - y0)
+        if filled != out.size:
+            raise RuntimeError(
+                f"snapshot {i:06d}: slabs cover {filled} of {out.size} "
+                f"points — incomplete pod write")
+        return out
 
     def stack(self) -> np.ndarray:
         """(T, Nx, Ny) array of all snapshots."""

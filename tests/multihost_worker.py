@@ -84,6 +84,36 @@ def main():
                 rtol=1e-12, atol=1e-13,
                 err_msg=f"resumed {name} shard {shard.index}")
 
+    # pod-safe FieldWriter (r5, VERDICT r4 item 4): drive a sharded
+    # Simulation with field snapshots — each process writes only its own
+    # slab (no gather), the reader stitches them back to the global field
+    from swmhd_tpu.simulation import Simulation, IterationInterval
+    from swmhd_tpu.io import FieldWriter
+    from swmhd_tpu.io.readers import FieldTimeSeries
+
+    outdir = os.path.join(tempfile.gettempdir(), f"swmhd_mh_fields_{port}")
+    sim = Simulation(model, dt=0.01, stop_iteration=4, stepper=dd)
+    sim.output_writers["fields"] = FieldWriter(
+        outputs={"A": lambda s: s.state.A, "h": lambda s: s.state.h},
+        schedule=IterationInterval(2), path=outdir)
+    sim.run(sharded)  # close() ends with a cross-process barrier
+
+    full4 = jax.jit(model.step_fn(0.01, 4))(state)
+    if proc_id == 0:
+        for name in ("A", "h"):
+            ts = FieldTimeSeries(outdir, name)
+            assert len(ts) == 3, len(ts)  # iterations 0, 2, 4
+            np.testing.assert_allclose(
+                ts[0], np.asarray(getattr(state, name)),
+                rtol=1e-12, atol=1e-13, err_msg=f"{name} snapshot 0")
+            np.testing.assert_allclose(
+                ts[-1], np.asarray(getattr(full4, name)),
+                rtol=1e-12, atol=1e-13, err_msg=f"{name} snapshot -1")
+            # the snapshots really are per-process slabs, not gathers
+            import glob
+            assert glob.glob(os.path.join(outdir, name, "000000.p*.npz"))
+            assert not glob.glob(os.path.join(outdir, name, "000000.npy"))
+
     print("MULTIHOST-OK", flush=True)
 
 

@@ -68,6 +68,9 @@ def test_two_process_sharded_step():
         shutil.rmtree(os.path.join(tempfile.gettempdir(),
                                    f"swmhd_mh_ckpt_{port}"),
                       ignore_errors=True)
+        shutil.rmtree(os.path.join(tempfile.gettempdir(),
+                                   f"swmhd_mh_fields_{port}"),
+                      ignore_errors=True)
 
     for i, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0 and ("distributed" in out.lower()
