@@ -1,37 +1,42 @@
-"""Real-TPU f32 validation of the PRODUCTION execution path (r4,
-VERDICT item 1).
+"""Real-TPU f32 validation of the PRODUCTION execution path (r5,
+VERDICT r4 item 1: all 12 combos, through the EXACT stepper the CLI
+ships).
 
 Every committed correctness artifact through r3 came from the f64 CPU XLA
-path, while production ships f32 on TPU with the fused Pallas kernel.
-This driver reruns recorded scenarios on the actual TPU chip in f32
-through the path `cli.py --fused` would select —
+path, while production ships f32 on TPU through ``cli.py --fused``'s
+path selection. r4 validated 6 of the 12 recorded scenario combos but
+pinned the 128² rows to the *windowed* kernel while the CLI had moved to
+the *resident* kernel at that size. This driver therefore:
 
-  - 128² scenarios: the windowed fused Pallas kernel (`FusedStepper`) —
-    the bench/production fast path (Ny % 128 == 0 holds);
-  - 64² scenarios: the f32 XLA step — exactly what `--fused` falls back
-    to at Ny = 64 (Mosaic's 128-lane window DMA alignment), i.e. still
-    the true production path for that size;
+  - selects the stepper by calling ``swmhd_tpu.cli.select_stepper``
+    itself — the single source of truth — so each row's recorded
+    ``path`` is the path a production run actually takes
+    (resident at 128², XLA fallback at 64² where Mosaic's 128-lane
+    alignment rejects both kernels);
+  - runs ALL 12 scenario × formulation combos
+    ({64²,128²} × {two_Gaussians_low_B, two_Gaussians_high_B,
+    low_B_low_U} × {vector_invariant, conservative});
+  - enables x64 exactly as the CLI does (grid f32, f64 clock — r5);
+  - records the same every-iteration energy series (in-graph, reference
+    functional convention) and checks the SAME anchors as the f64 CPU
+    gate (examples/validation_anchors.py, transcribed from
+    /root/reference/energy_plots/*.png).
 
-— records the same every-iteration energy series (in-graph, reference
-functional convention), and checks the SAME anchors as the f64 CPU gate
-(examples/validation_anchors.py, transcribed from
-/root/reference/energy_plots/*.png).
+The companion on-chip kernel-equality pin is
+tests/test_fused.py::test_resident_windowed_xla_agree_at_128_on_tpu
+(resident == windowed == XLA over 10 compiled steps at 128², both
+shipped topologies), run with SWMHD_TEST_TPU=1.
 
 f32 tolerance rationale: the anchors compare O(0.01..1)-scale energies
 and a deviation envelope gated at 3x the recorded peak. The f32
 trajectory differs from f64 at the WENO-weight roundoff level
 (tests/test_advection.py::TestF32Weights pins the weights to ~1e-4 of
 f64 in the decisive beta regime since the r4 eps fix), which accumulates
-far below the 30% end-state / 3x-envelope gates; the one f32-specific
-widening is ke0 for rest starts (exact 0 in both precisions — unchanged)
-and the reporting of dev_max against an envelope whose own transcription
-tolerance (plot pixels) dwarfs f32 noise. Where a case needs more than
-the f64 gates, the result JSON records it explicitly rather than
-widening silently.
+far below the 30% end-state / 3x-envelope gates.
 
 Usage (on the TPU host):
     python examples/validate_tpu_fused.py [--only SUBSTR] [--merge]
-Writes validation/tpu_r04/results.json + TPU_VALIDATION_r04.md.
+Writes validation/tpu_r05/results.json + TPU_VALIDATION_r05.md.
 """
 
 import argparse
@@ -51,26 +56,20 @@ import jax.numpy as jnp
 from validation_anchors import REFERENCE, TOL, summarize, judge
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUTDIR = os.path.join(REPO, "validation", "tpu_r04")
+OUTDIR = os.path.join(REPO, "validation", "tpu_r05")
 
-# The VERDICT-named eps-sensitive cases plus spread across formulations
-# and scenario classes; 4 of the 6 run the fused kernel.
-CASES = [
-    ("vector_invariant", "64x64_low_B_low_U"),
-    ("conservative", "64x64_low_B_low_U"),
-    ("vector_invariant", "128x128_low_B_low_U"),
-    ("vector_invariant", "128x128_two_Gaussians_low_B"),
-    ("conservative", "128x128_two_Gaussians_low_B"),
-    ("vector_invariant", "128x128_two_Gaussians_high_B"),
-]
+CASES = [(f, f"{N}x{N}_{tag}")
+         for N in (64, 128)
+         for tag in ("two_Gaussians_low_B", "two_Gaussians_high_B",
+                     "low_B_low_U")
+         for f in ("vector_invariant", "conservative")]
 
 
 def run_case(formulation, name, stop_time):
-    from swmhd_tpu import scenarios, diagnostics
+    from swmhd_tpu import scenarios, diagnostics, cli
     from swmhd_tpu.simulation import (Simulation, IterationInterval,
                                       Callback, progress_callback)
     from swmhd_tpu.io import ScalarSeriesWriter
-    from swmhd_tpu.ops.fused_step import FusedStepper, fused_step_fn
 
     model, state, sc = scenarios.build(name, formulation,
                                        dtype=jnp.float32)
@@ -79,13 +78,10 @@ def run_case(formulation, name, stop_time):
     csv = os.path.join(OUTDIR, "series", f"{tag}.csv")
     os.makedirs(os.path.dirname(csv), exist_ok=True)
 
-    stepper, path = None, "xla-f32"
-    try:
-        fused_step_fn(model, sc.dt, 1)  # geometry probe (Ny%128 etc.)
-        stepper = FusedStepper(model)
-        path = "fused-pallas-f32"
-    except ValueError:
-        pass
+    # THE production path selection (cli.select_stepper probes
+    # compile-and-fall-back exactly as `--fused` does)
+    stepper, state, path = cli.select_stepper(model, state, sc.dt)
+    path = f"{path}-f32"
 
     sim = Simulation(model, dt=sc.dt, stop_time=stop_time,
                      stepper=stepper)
@@ -108,8 +104,8 @@ def main():
                     help="just merge per-case JSONs into the report")
     args = ap.parse_args()
 
-    # persistent compile cache: each case otherwise pays minutes of
-    # Mosaic/XLA compile through the relay
+    # production parity: x64 on (f64 clock), persistent compile cache
+    jax.config.update("jax_enable_x64", True)
     cache = os.path.join(REPO, ".jax_tpu_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -152,24 +148,24 @@ def main():
         json.dump(results, f, indent=1)
 
     lines = [
-        "# TPU_VALIDATION_r04 — f32 production-path scenario validation "
-        "on real TPU hardware",
+        "# TPU_VALIDATION_r05 — f32 production-path scenario validation "
+        "on real TPU hardware, all 12 combos",
         "",
-        "VERDICT r3 item 1: the 12/12 f64-CPU validation gate "
-        "(VALIDATION.md) exercised the XLA reference path; production "
-        "runs f32 on TPU through the fused Pallas kernel. This record "
-        "reruns the eps-sensitive + representative scenarios through the "
-        "ACTUAL production path on the bench chip and checks the same "
-        "anchors (examples/validation_anchors.py; tolerances unchanged "
-        "from the f64 gate — rationale in "
-        "examples/validate_tpu_fused.py).",
+        "VERDICT r4 item 1: every row below ran through the stepper "
+        "`cli.py --fused` actually ships — selection by "
+        "`swmhd_tpu.cli.select_stepper` itself (resident Pallas kernel "
+        "at 128², XLA-f32 at 64² where Mosaic's 128-lane alignment "
+        "rejects both kernels), with x64 on (f64 clock) exactly as the "
+        "production CLI. Anchors and tolerances are unchanged from the "
+        "f64 CPU gate (examples/validation_anchors.py, transcribed from "
+        "/root/reference/energy_plots/*.png).",
         "",
-        "Companion hardware evidence in this directory:",
-        "- `pytest_tpu_fused_resident.log` — the 4 TPU-marked equality "
-        "tests PASSING on the chip: fused==XLA over 10 steps at 256^2 "
-        "(both roll lowerings), bounded-y fused==XLA at 128^2, and "
-        "resident==XLA at 512^2 (tests/test_fused.py).",
-        "- `cli_resume_tpu.log` — CLI checkpoint resume on the chip.",
+        "Companion hardware evidence in validation/tpu_r05/:",
+        "- `pytest_tpu_kernels.log` — the TPU-marked equality tests on "
+        "the chip, incl. the NEW 128² resident==windowed==XLA 10-step "
+        "pin for both shipped topologies "
+        "(tests/test_fused.py::test_resident_windowed_xla_agree_at_128_"
+        "on_tpu).",
         "- `series/*.csv` — the full per-iteration energy series.",
         "",
         "| formulation | scenario | path | anchors | result |",
@@ -201,9 +197,9 @@ def main():
             lines.append(f"| {k} | {rv:.4g} | {gv:.4g} | "
                          f"{'yes' if checks.get(k, True) else 'NO'} |")
         lines.append("")
-    with open(os.path.join(REPO, "TPU_VALIDATION_r04.md"), "w") as f:
+    with open(os.path.join(REPO, "TPU_VALIDATION_r05.md"), "w") as f:
         f.write("\n".join(lines))
-    print("wrote TPU_VALIDATION_r04.md "
+    print("wrote TPU_VALIDATION_r05.md "
           f"({sum(r['pass'] for r in results)}/{len(results)} pass)")
 
 
