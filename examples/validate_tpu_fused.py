@@ -16,7 +16,9 @@ the *resident* kernel at that size. This driver therefore:
   - runs ALL 12 scenario × formulation combos
     ({64²,128²} × {two_Gaussians_low_B, two_Gaussians_high_B,
     low_B_low_U} × {vector_invariant, conservative});
-  - enables x64 exactly as the CLI does (grid f32, f64 clock — r5);
+  - matches production dtype settings exactly (f32, x64 off — the CLI
+    enables x64 only for --dtype float64; the f32 clock is drift-free
+    by in-scan reconstruction, see models.state.time_dtype);
   - records the same every-iteration energy series (in-graph, reference
     functional convention) and checks the SAME anchors as the f64 CPU
     gate (examples/validation_anchors.py, transcribed from
@@ -104,8 +106,10 @@ def main():
                     help="just merge per-case JSONs into the report")
     args = ap.parse_args()
 
-    # production parity: x64 on (f64 clock), persistent compile cache
-    jax.config.update("jax_enable_x64", True)
+    # production parity: x64 OFF for f32 runs (the CLI enables x64 only
+    # for --dtype float64 — Pallas kernels fail to trace under x64 on
+    # this TPU stack, see cli.py; the f32 clock is drift-free by
+    # reconstruction instead), persistent compile cache
     cache = os.path.join(REPO, ".jax_tpu_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -155,7 +159,7 @@ def main():
         "`cli.py --fused` actually ships — selection by "
         "`swmhd_tpu.cli.select_stepper` itself (resident Pallas kernel "
         "at 128², XLA-f32 at 64² where Mosaic's 128-lane alignment "
-        "rejects both kernels), with x64 on (f64 clock) exactly as the "
+        "rejects both kernels), f32 with x64 off exactly as the "
         "production CLI. Anchors and tolerances are unchanged from the "
         "f64 CPU gate (examples/validation_anchors.py, transcribed from "
         "/root/reference/energy_plots/*.png).",

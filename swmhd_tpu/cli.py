@@ -152,13 +152,19 @@ def cmd_run(args):
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    # x64 is always on: the GRID dtype below still controls every field
-    # (f32 production arrays stay f32 under JAX's weak-type promotion —
-    # verified on the relay chip, r5), but the scalar simulation clock
-    # rides float64 so time-dependent forcings see full-precision time
-    # (models.state.time_dtype; VERDICT r4 item 6).
-    jax.config.update("jax_enable_x64", True)
+    # x64 only for --dtype float64: under x64 the scalar clock rides
+    # float64 (models.state.time_dtype). Enabling x64 for f32 TPU runs
+    # was tried in r5 and REVERTED: on this TPU stack the Pallas kernels
+    # fail to trace under x64 (a RecursionError inside jax's abstract-
+    # eval caching — select_stepper's compile probes caught it and fell
+    # back to XLA, i.e. it silently disabled the fused path). f32 runs
+    # instead get a drift-free f32 clock by reconstruction: every
+    # stepper computes t = t0 + k*dt in-scan (single rounding, no
+    # accumulation) and the driver re-syncs the clock from its exact
+    # host-side time between chunks (simulation.Simulation.run).
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
 
     model_kwargs = {}
     if args.nu or args.kappa:

@@ -496,13 +496,25 @@ class ShallowWaterModel:
         {name: (n_steps,) array})`` — per-step scalar series computed
         in-graph, so a chunk costs ONE host round trip regardless of the
         diagnostic cadence (the reference recomputes its energies eagerly
-        every iteration, SWMHD_example.jl:87-92)."""
-        def one(s, _):
-            s = self.step(s, dt)
-            ys = diagnostics(s) if diagnostics is not None else None
-            return s, ys
+        every iteration, SWMHD_example.jl:87-92).
 
+        Clock discipline (r5, VERDICT r4 item 6): in-scan time is
+        RECONSTRUCTED as ``t0 + (k+1)*dt`` from the scan index instead of
+        accumulated ``+= dt``, so an f32 clock (x64-off production)
+        carries a single rounding — no O(n·ulp) drift — and an f64 clock
+        is exact to ~1 ulp over any chunk length."""
         def fn(s):
-            out, series = jax.lax.scan(one, s, None, length=n_steps)
+            t0, it0 = s.clock.time, s.clock.iteration
+
+            def one(carry, k):
+                s2 = self.step(carry, dt)
+                s2 = s2.replace(clock=Clock(
+                    time=t0 + (k + 1).astype(t0.dtype) * dt,
+                    iteration=s2.clock.iteration))
+                ys = diagnostics(s2) if diagnostics is not None else None
+                return s2, ys
+
+            ks = jnp.arange(n_steps, dtype=jnp.int32)
+            out, series = jax.lax.scan(one, s, ks)
             return (out, series) if diagnostics is not None else out
         return fn

@@ -424,13 +424,21 @@ def fused_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
         if n_steps == 1 and diagnostics is None:
             pfields, clock = one_padded_step(pfields, state.clock)
         else:
-            def body(carry, _):
-                carry = one_padded_step(*carry)
+            # in-scan time reconstructed from the step index (single
+            # rounding; no f32 += dt drift — see step_fn's clock note)
+            t0 = state.clock.time
+
+            def body(carry, k):
+                pf, clock = one_padded_step(*carry)
+                clock = Clock(time=t0 + (k + 1).astype(t0.dtype) * dt,
+                              iteration=clock.iteration)
+                carry = (pf, clock)
                 ys = (diagnostics(crop(*carry))
                       if diagnostics is not None else None)
                 return carry, ys
+            ks = jnp.arange(n_steps, dtype=jnp.int32)
             (pfields, clock), series = jax.lax.scan(
-                body, (pfields, state.clock), None, length=n_steps)
+                body, (pfields, state.clock), ks)
             if diagnostics is not None:
                 return crop(pfields, clock), series
 
@@ -509,19 +517,26 @@ def resident_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
                     st = State(h=sbuf[0], u=sbuf[1], v=sbuf[2],
                                A=sbuf[3], clock=clock)
                     G = local_model.tendencies(st)
-                    gamma = jnp.where(stage0, gam[0],
-                                      jnp.where(stage2, gam[2], gam[1]))
-                    zeta = jnp.where(stage0, zet[0],
-                                     jnp.where(stage2, zet[2], zet[1]))
-                    gamma = gamma.astype(sbuf.dtype)
-                    zeta = zeta.astype(sbuf.dtype)
+                    # coefficients as explicit grid-dtype scalars: under
+                    # x64 (f64 clock, r5) a bare python-float where would
+                    # put 64-bit constants inside the kernel, which
+                    # Mosaic rejects at lowering
+                    cast = lambda x: jnp.asarray(x, sbuf.dtype)
+                    gamma = jnp.where(stage0, cast(gam[0]),
+                                      jnp.where(stage2, cast(gam[2]),
+                                                cast(gam[1])))
+                    zeta = jnp.where(stage0, cast(zet[0]),
+                                     jnp.where(stage2, cast(zet[2]),
+                                               cast(zet[1])))
                     for n, g_ in enumerate((G.h, G.u, G.v, G.A)):
                         sbuf[n] = sbuf[n] + dt * (gamma * g_
                                                   + zeta * gbuf[n])
                         gbuf[n] = g_
                     return carry
-                jax.lax.fori_loop(0, 3 * steps, substage, 0,
-                                  unroll=False)
+                # int32 bounds keep the induction variable 32-bit under
+                # x64 (Mosaic rejects 64-bit types)
+                jax.lax.fori_loop(jnp.int32(0), jnp.int32(3 * steps),
+                                  substage, jnp.int32(0), unroll=False)
             finally:
                 op_mod.set_roll_impl(prev_roll)
 
@@ -570,10 +585,17 @@ def resident_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
     call1 = make_call(1)
 
     def fn(state: State):
-        def body(s, _):
+        t0 = state.clock.time
+
+        def body(s, k):
             s2 = run_call(call1, 1, s)
+            # reconstructed time (see step_fn's clock note)
+            s2 = s2.replace(clock=Clock(
+                time=t0 + (k + 1).astype(t0.dtype) * dt,
+                iteration=s2.clock.iteration))
             return s2, diagnostics(s2)
-        return jax.lax.scan(body, state, None, length=n_steps)
+        return jax.lax.scan(body, state,
+                            jnp.arange(n_steps, dtype=jnp.int32))
     return fn
 
 

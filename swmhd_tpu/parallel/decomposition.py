@@ -399,10 +399,14 @@ class DomainDecomposition:
                  out_specs=(fspec, fspec, fspec, fspec, P(), P()),
                  check_vma=False)
         def sharded_steps(h, u, v, A, t, it):
-            def body(carry, _):
-                return local_step(*carry), None
-            out, _ = jax.lax.scan(body, (h, u, v, A, t, it), None,
-                                  length=n_steps)
+            t0 = t  # reconstructed time (see step_fn's clock note)
+
+            def body(carry, k):
+                h, u, v, A, t, it = local_step(*carry)
+                t = t0 + (k + 1).astype(t0.dtype) * dt
+                return (h, u, v, A, t, it), None
+            out, _ = jax.lax.scan(body, (h, u, v, A, t, it),
+                                  jnp.arange(n_steps, dtype=jnp.int32))
             return out
 
         @partial(shard_map, mesh=self.mesh,
@@ -425,11 +429,18 @@ class DomainDecomposition:
             return fn
 
         def fn(state: State):
-            def body(s, _):
+            t0 = state.clock.time
+
+            def body(s, k):
                 s2 = pack(sharded_one(s.h, s.u, s.v, s.A,
                                       s.clock.time, s.clock.iteration))
+                s2 = s2.replace(clock=Clock(
+                    time=t0 + (k + 1).astype(t0.dtype) * dt,
+                    iteration=s2.clock.iteration))
                 return s2, diagnostics(s2)
-            out, series = jax.lax.scan(body, state, None, length=n_steps)
+            out, series = jax.lax.scan(body, state,
+                                       jnp.arange(n_steps,
+                                                  dtype=jnp.int32))
             return out, series
         return fn
 
@@ -475,10 +486,16 @@ class DomainDecomposition:
                  out_specs=(fspec, fspec, fspec, fspec, P(), P()),
                  check_vma=False)
         def sharded_steps(h, u, v, A, t, it):
-            def body(carry, _):
-                return self._local_step(*carry, dt), None
-            out, _ = jax.lax.scan(body, (h, u, v, A, t, it), None,
-                                  length=n_steps)
+            # time reconstructed from the step index — no f32 += dt
+            # drift (see ShallowWaterModel.step_fn's clock note)
+            t0 = t
+
+            def body(carry, k):
+                h, u, v, A, t, it = self._local_step(*carry, dt)
+                t = t0 + (k + 1).astype(t0.dtype) * dt
+                return (h, u, v, A, t, it), None
+            out, _ = jax.lax.scan(body, (h, u, v, A, t, it),
+                                  jnp.arange(n_steps, dtype=jnp.int32))
             return out
 
         @partial(shard_map, mesh=self.mesh,
@@ -501,10 +518,17 @@ class DomainDecomposition:
             return jax.jit(fn)
 
         def fn(state: State):
-            def body(s, _):
+            t0 = state.clock.time
+
+            def body(s, k):
                 s2 = pack(sharded_one(s.h, s.u, s.v, s.A,
                                       s.clock.time, s.clock.iteration))
+                s2 = s2.replace(clock=Clock(
+                    time=t0 + (k + 1).astype(t0.dtype) * dt,
+                    iteration=s2.clock.iteration))
                 return s2, diagnostics(s2)
-            out, series = jax.lax.scan(body, state, None, length=n_steps)
+            out, series = jax.lax.scan(body, state,
+                                       jnp.arange(n_steps,
+                                                  dtype=jnp.int32))
             return out, series
         return jax.jit(fn)

@@ -179,6 +179,17 @@ class Simulation:
             for s in self._schedules():
                 n = min(n, s.steps_until_due(it, t, self.dt))
             n = max(1, n)
+            # Clock resync (r5): the driver's t is exact f64; writing it
+            # back caps the in-graph clock's error at one rounding of t
+            # itself even when the clock is f32 (x64-off production).
+            # The steppers' in-scan t0 + k*dt reconstruction bounds
+            # within-chunk error; this bounds cross-chunk accumulation.
+            # A host scalar write is async (no device round trip).
+            from .models.state import Clock as _Clock
+            import jax.numpy as _jnp
+            self.state = self.state.replace(clock=_Clock(
+                time=_jnp.asarray(t, self.state.clock.time.dtype),
+                iteration=self.state.clock.iteration))
             out = self._stepper(n)(self.state)
             if series_writers:
                 self.state, series = out

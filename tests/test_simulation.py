@@ -257,6 +257,21 @@ class TestClockPrecision:
         assert abs(float(out.clock.time) - n * dt) < 1e-9
         assert int(out.clock.iteration) == n
 
+    def test_10k_steps_f32_clock_has_no_drift(self):
+        """x64-off production carries an f32 clock; the in-scan
+        t0 + k*dt reconstruction must keep it within ~2 ulp of true
+        (vs O(n*ulp) for += dt accumulation). Forced-f32 clock here."""
+        import jax
+        from swmhd_tpu.models.state import Clock
+        model = self._f32_model()
+        state = model.initial_state(h=1.0)
+        state = state.replace(clock=Clock.zero(dtype=jnp.float32))
+        dt = 0.013
+        n = 10_000
+        out = jax.jit(model.step_fn(dt, n))(state)
+        true_t = n * dt  # 130.0
+        assert abs(float(out.clock.time) - true_t) < 3e-5  # ~2 ulp(130)
+
     def test_forcing_receives_f64_time_under_f32_grid(self):
         import jax
         seen = {}
