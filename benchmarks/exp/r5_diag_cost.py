@@ -28,10 +28,11 @@ if not USE_TPU:
 import jax
 if not USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
-from swmhd_tpu import scenarios, diagnostics
+from swmhd_tpu import diagnostics
 from swmhd_tpu.parallel import DomainDecomposition, make_mesh
 
 
@@ -55,9 +56,6 @@ def main():
     N = 256
     n_steps = 32
     dtype = jnp.float32 if USE_TPU else jnp.float64
-    model, state, sc = scenarios.build(f"128x128_two_Gaussians_low_B",
-                                       dtype=dtype)
-    # rebuild at N for a meatier tile
     from swmhd_tpu import Grid, ShallowWaterModel, FPlane
     from swmhd_tpu import jacobian_lorentz_forcing
     g = Grid.regular(N, N, (-5, 5), (-5, 5), dtype=dtype)
@@ -86,6 +84,11 @@ def main():
     rows["sharded_plain"] = bench(dd.step_fn(dt, n_steps), sh)
     rows["sharded_diag"] = bench(dd.step_fn(dt, n_steps, diagnostics=diag),
                                  sh)
+    # a compute-free diagnostic isolates the pure per-step shard_map
+    # re-entry cost from the energy computation itself
+    rows["sharded_trivial"] = bench(
+        dd.step_fn(dt, n_steps, diagnostics=lambda s: {"t": s.clock.time}),
+        sh)
 
     print(f"backend={jax.default_backend()} mesh={mesh_shape} N={N} "
           f"steps={n_steps} dtype={np.dtype(dtype).name}")
@@ -94,6 +97,9 @@ def main():
     for tag in ("single", "sharded"):
         over = rows[f"{tag}_diag"] / rows[f"{tag}_plain"] - 1
         print(f"  {tag}: diagnostics overhead {100*over:+.1f}%")
+    reentry = rows["sharded_trivial"] / rows["sharded_plain"] - 1
+    print(f"  sharded: pure re-entry overhead (trivial diag) "
+          f"{100*reentry:+.1f}%")
 
 
 if __name__ == "__main__":

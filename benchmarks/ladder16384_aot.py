@@ -40,7 +40,6 @@ def main():
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--topology", default="v5e:4x8")
     ap.add_argument("--mesh", type=int, nargs=2, default=(4, 8))
-    ap.add_argument("--overlap", action="store_true")
     args = ap.parse_args()
 
     from jax.experimental import topologies
@@ -58,9 +57,6 @@ def main():
           flush=True)
 
     model, _ = build_model(args.n)
-    dd = DomainDecomposition(model, mesh, halo=8, overlap=args.overlap)
-    fn = dd.step_fn(0.001, 1)
-
     N = args.n
     sh_field = NamedSharding(mesh, P(AXIS_X, AXIS_Y))
     sh_scalar = NamedSharding(mesh, P())
@@ -69,15 +65,8 @@ def main():
     it = jax.ShapeDtypeStruct((), jnp.int32, sharding=sh_scalar)
     state = State(h=field, u=field, v=field, A=field,
                   clock=Clock(time=scalar, iteration=it))
-
-    t0 = time.time()
-    compiled = fn.lower(state).compile()
-    compile_s = time.time() - t0
-    mem = compiled.memory_analysis()
-    txt = compiled.as_text()
-    sched = parse_schedule(txt)
-
     tile = (N // args.mesh[0], N // args.mesh[1])
+
     report = {
         "grid": f"{N}x{N}",
         "topology": args.topology,
@@ -85,24 +74,39 @@ def main():
         "n_processes": n_proc,
         "mesh": list(args.mesh),
         "tile_per_chip": list(tile),
-        "overlap_split": bool(args.overlap),
         "halo": 8,
-        "compile_s": round(compile_s, 1),
-        "per_device_bytes": {
-            "arguments": int(mem.argument_size_in_bytes),
-            "outputs": int(mem.output_size_in_bytes),
-            "temps": int(mem.temp_size_in_bytes),
-            "generated_code": int(mem.generated_code_size_in_bytes),
-        },
-        "hbm_headroom_note": (
-            "v5e has 16 GiB HBM/chip; argument+temp = "
-            f"{(mem.argument_size_in_bytes + mem.temp_size_in_bytes) / 2**30:.2f}"
-            " GiB per chip for the 1-step XLA sharded step"),
-        "schedule": sched,
     }
+    for overlap in (False, True):
+        dd = DomainDecomposition(model, mesh, halo=8, overlap=overlap)
+        fn = dd.step_fn(0.001, 1)
+        t0 = time.time()
+        compiled = fn.lower(state).compile()
+        compile_s = time.time() - t0
+        mem = compiled.memory_analysis()
+        sched = parse_schedule(compiled.as_text())
+        report[f"overlap_{str(overlap).lower()}"] = {
+            "compile_s": round(compile_s, 1),
+            "per_device_bytes": {
+                "arguments": int(mem.argument_size_in_bytes),
+                "outputs": int(mem.output_size_in_bytes),
+                "temps": int(mem.temp_size_in_bytes),
+                "generated_code": int(mem.generated_code_size_in_bytes),
+            },
+            "hbm_gib_per_chip": round(
+                (mem.argument_size_in_bytes + mem.temp_size_in_bytes)
+                / 2 ** 30, 2),
+            "schedule": sched,
+        }
+        print(f"overlap={overlap}: compiled in {compile_s:.0f}s, "
+              f"{report[f'overlap_{str(overlap).lower()}']['hbm_gib_per_chip']}"
+              f" GiB/chip, schedule {sched}", flush=True)
+    report["note"] = ("v5e has 16 GiB HBM/chip. n_sync_permutes counts "
+                      "synchronous collective-permute instructions (the "
+                      "scheduler chose not to split them into async "
+                      "start/done pairs); n_permute_pairs counts async "
+                      "pairs and the compute scheduled inside them.")
     with open(os.path.join(REPO, "LADDER_16384_compile.json"), "w") as f:
         json.dump(report, f, indent=1)
-    print(json.dumps(report, indent=1))
     print("wrote LADDER_16384_compile.json")
 
 

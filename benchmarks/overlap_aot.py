@@ -111,6 +111,8 @@ def parse_schedule(hlo_text):
     collective-permute start..done span, record the compute scheduled
     inside it."""
     pairs = []
+    n_sync = 0   # synchronous collective-permute (no start/done split):
+    # the scheduler decided NOT to overlap these — worth surfacing
     lines = hlo_text.splitlines()
     # computations are brace-delimited blocks; instruction order within a
     # block IS the schedule (the module is compiled with scheduling on)
@@ -122,7 +124,9 @@ def parse_schedule(hlo_text):
                 open_spans.clear()  # spans do not cross computations
             continue
         name, op = parsed
-        if op == "collective-permute-start":
+        if op == "collective-permute":
+            n_sync += 1
+        elif op == "collective-permute-start":
             open_spans[name] = {"ops": 0, "bytes": 0, "all_ops": 0}
         elif op == "collective-permute-done":
             # operand = the start instruction's name
@@ -140,6 +144,7 @@ def parse_schedule(hlo_text):
     n = len(pairs)
     with_compute = sum(1 for p in pairs if p["ops"] > 0)
     return {
+        "n_sync_permutes": n_sync,
         "n_permute_pairs": n,
         "n_pairs_with_compute_inside": with_compute,
         "pct_pairs_overlapped": round(100.0 * with_compute / n, 1) if n else None,
