@@ -314,20 +314,26 @@ def test_resident_windowed_xla_agree_at_128_on_tpu(scenario):
     ref = jax.jit(model.step_fn(dt, 10))(state)
     win = jax.jit(fused_step_fn(model, dt, n_steps=10))(state)
     res = jax.jit(resident_step_fn(model, dt, n_steps=10))(state)
+    # Normalize by the STATE-wide scale (~h's O(1)), not per-field: the
+    # rest-start scenarios have max|u| ~ 1e-3 after 10 steps, where a
+    # per-field relative bound would demand sub-roundoff agreement of
+    # f32 kernels (the coupled system's roundoff lives at the state
+    # scale, not each field's own).
+    state_scale = max(
+        float(np.max(np.abs(np.asarray(getattr(ref, n), np.float64))))
+        for n in ("h", "u", "v", "A"))
     for out, tag in ((win, "windowed"), (res, "resident")):
         for name in ("h", "u", "v", "A"):
             a = np.asarray(getattr(out, name), dtype=np.float64)
             b = np.asarray(getattr(ref, name), dtype=np.float64)
-            scale = np.max(np.abs(b)) + 1e-30
-            assert np.max(np.abs(a - b)) / scale < 2e-5, (
+            assert np.max(np.abs(a - b)) / state_scale < 2e-5, (
                 f"{scenario}/{name}: {tag} deviates from XLA on TPU by "
-                f"{np.max(np.abs(a - b)) / scale:.2e}")
+                f"{np.max(np.abs(a - b)) / state_scale:.2e}")
     # resident vs windowed run the identical tendency arithmetic with
-    # different roll/DMA structure — pin them to each other tighter
+    # different roll/DMA structure — pin them to each other too
     for name in ("h", "u", "v", "A"):
         a = np.asarray(getattr(res, name), dtype=np.float64)
         b = np.asarray(getattr(win, name), dtype=np.float64)
-        scale = np.max(np.abs(b)) + 1e-30
-        assert np.max(np.abs(a - b)) / scale < 2e-5, (
+        assert np.max(np.abs(a - b)) / state_scale < 2e-5, (
             f"{scenario}/{name}: resident vs windowed differ by "
-            f"{np.max(np.abs(a - b)) / scale:.2e}")
+            f"{np.max(np.abs(a - b)) / state_scale:.2e}")
