@@ -504,7 +504,7 @@ class ShallowWaterModel:
         carries a single rounding — no O(n·ulp) drift — and an f64 clock
         is exact to ~1 ulp over any chunk length."""
         def fn(s):
-            t0, it0 = s.clock.time, s.clock.iteration
+            t0 = s.clock.time
 
             def one(carry, k):
                 s2 = self.step(carry, dt)

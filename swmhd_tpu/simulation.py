@@ -19,9 +19,10 @@ import time
 from typing import Callable as _Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from .models.state import State
+from .models.state import Clock, State
 from .utils.prettytime import prettytime
 
 logger = logging.getLogger("swmhd_tpu")
@@ -185,10 +186,8 @@ class Simulation:
             # The steppers' in-scan t0 + k*dt reconstruction bounds
             # within-chunk error; this bounds cross-chunk accumulation.
             # A host scalar write is async (no device round trip).
-            from .models.state import Clock as _Clock
-            import jax.numpy as _jnp
-            self.state = self.state.replace(clock=_Clock(
-                time=_jnp.asarray(t, self.state.clock.time.dtype),
+            self.state = self.state.replace(clock=Clock(
+                time=jnp.asarray(t, self.state.clock.time.dtype),
                 iteration=self.state.clock.iteration))
             out = self._stepper(n)(self.state)
             if series_writers:
