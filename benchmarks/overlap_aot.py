@@ -80,22 +80,27 @@ _COMPUTE_OPS = {"fusion", "dot", "convolution", "reduce", "reduce-window",
                 "sort", "rng", "cholesky", "triangular-solve"}
 
 
-def _out_bytes(line):
-    m = _SHAPE.search(line)
-    if not m:
-        return 0
-    dt, dims = m.groups()
-    size = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
-            "s8": 1, "u8": 1, "pred": 1}[dt]
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n * size
+_SIZES = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
+          "s8": 1, "u8": 1, "pred": 1}
+
+
+def _out_bytes(type_region):
+    """Total bytes of an instruction's OUTPUT type (tuple elements
+    summed). Must be given only the type region between '=' and the
+    opcode — operand/metadata text can also contain shape-like strings."""
+    total = 0
+    for m in _SHAPE.finditer(type_region):
+        dt, dims = m.groups()
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _SIZES[dt]
+    return total
 
 
 def _parse_instruction(line):
-    """(name, opcode) or None for non-instruction lines."""
+    """(name, opcode, out_bytes) or None for non-instruction lines."""
     nm = _NAME.match(line)
     if not nm:
         return None
@@ -103,7 +108,10 @@ def _parse_instruction(line):
     om = _OPCODE.search(" " + rest)
     if not om:
         return None
-    return nm.group(1), om.group(1)
+    # om.start() indexes into " " + rest: the type region is everything
+    # before the opcode token
+    return nm.group(1), om.group(1), _out_bytes(rest[:max(om.start() - 1,
+                                                          0)])
 
 
 def parse_schedule(hlo_text):
@@ -123,7 +131,7 @@ def parse_schedule(hlo_text):
             if line.strip().startswith("}"):
                 open_spans.clear()  # spans do not cross computations
             continue
-        name, op = parsed
+        name, op, nbytes = parsed
         if op == "collective-permute":
             n_sync += 1
         elif op == "collective-permute-start":
@@ -140,7 +148,7 @@ def parse_schedule(hlo_text):
                 span["all_ops"] += 1
                 if op in _COMPUTE_OPS:
                     span["ops"] += 1
-                    span["bytes"] += _out_bytes(line)
+                    span["bytes"] += nbytes
     n = len(pairs)
     with_compute = sum(1 for p in pairs if p["ops"] > 0)
     return {

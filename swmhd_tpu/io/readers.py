@@ -31,15 +31,21 @@ class FieldTimeSeries:
     def __getitem__(self, i: int) -> np.ndarray:
         if i < 0:
             i += self._n
+        import glob
         single = os.path.join(self._dir, f"{i:06d}.npy")
-        if os.path.exists(single):
-            return np.load(single)
-        # pod-scale snapshot: stitch the per-process slabs written by
+        # pod-scale snapshots are per-process slabs written by
         # FieldWriter._write_array (one .p<pid>.npz per process, each
         # carrying its global bounds — no gather happened at write time)
-        import glob
         slabs = sorted(glob.glob(os.path.join(self._dir,
                                               f"{i:06d}.p*.npz")))
+        if os.path.exists(single):
+            if slabs:
+                raise RuntimeError(
+                    f"snapshot {i:06d} exists BOTH as a single .npy and "
+                    f"as per-process slabs in {self._dir} — mixed "
+                    f"single-process and pod writes into one store; "
+                    f"refusing to guess which run's data to serve")
+            return np.load(single)
         if not slabs:
             raise FileNotFoundError(
                 f"no snapshot {i:06d} (neither .npy nor .p*.npz) in "

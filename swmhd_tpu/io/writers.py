@@ -70,7 +70,12 @@ class FieldWriter:
         dirpath = os.path.join(self.path, name)
         if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
             from ..parallel.multihost import array_local_slab
-            bounds, data = array_local_slab(arr)
+            slab = array_local_slab(arr)
+            if slab is None:
+                # only redundant replicas live here; the replica-0
+                # holders write the covering slabs
+                return
+            bounds, data = slab
             tmp = os.path.join(
                 dirpath, f"{self._idx:06d}.p{self._pid:05d}.tmp.npz")
             np.savez(tmp, data=data, bounds=np.asarray(bounds),

@@ -260,6 +260,14 @@ class ShallowWaterModel:
             contribs = fn(self.grid, state.clock, fields)
             if len(names) == 1:
                 contribs = (contribs,)
+            # Pin contributions to the grid dtype: since the clock rides
+            # f64 under x64 (state.time_dtype), a forcing that uses
+            # clock.time arithmetically would otherwise promote its
+            # output — and through the Gu/Gv sums the whole scan carry —
+            # to f64 (a trace-time carry-mismatch error). No-op for
+            # already-correct dtypes.
+            contribs = tuple(jnp.asarray(c, self.grid.dtype)
+                             for c in contribs)
             for nm, contrib in zip(names, contribs):
                 if nm == umom:
                     Gu = Gu + contrib

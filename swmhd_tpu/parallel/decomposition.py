@@ -81,7 +81,12 @@ def make_mesh(n_devices: Optional[int] = None,
         from jax.experimental import mesh_utils
         dev_array = mesh_utils.create_device_mesh(
             shape, devices=list(devices))
-    except Exception:
+    except Exception as e:
+        import logging
+        logging.warning(
+            "make_mesh: mesh_utils.create_device_mesh failed (%s); "
+            "falling back to enumeration-order device layout — halo "
+            "neighbors may not be ICI-adjacent", e)
         dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, (AXIS_X, AXIS_Y))
 

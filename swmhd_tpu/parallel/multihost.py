@@ -75,12 +75,15 @@ def array_local_slab(arr):
     process extracts exactly its own slab. Unlike
     :func:`process_local_slab` it derives bounds from the array's actual
     sharding, so it also covers derived outputs whose sharding was chosen
-    by the compiler. Raises if the addressable shards do not tile a
-    rectangle (cannot happen for a 2-D ('x','y') mesh with one process
-    per contiguous device block)."""
+    by the compiler. Returns ``None`` when this process holds only
+    redundant replicas (``replica_id != 0`` everywhere) — the replica-0
+    holders cover the domain, so such a process correctly writes
+    nothing. Raises if the replica-0 shards do not tile a rectangle
+    (cannot happen for a 2-D ('x','y') mesh with one process per
+    contiguous device block)."""
     shards = [s for s in arr.addressable_shards if s.replica_id == 0]
     if not shards:
-        raise ValueError("array has no addressable shards on this process")
+        return None
     boxes = []
     for s in shards:
         sx, sy = s.index

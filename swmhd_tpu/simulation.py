@@ -236,15 +236,20 @@ class TimeStepWizard:
         self.min_change = min_change
         self.min_dt = min_dt
         self.max_dt = max_dt
-        self._cfl_fn = None  # jitted once; dt rides as a traced argument
+        # jitted once PER MODEL (dt rides as a traced argument): a wizard
+        # instance reattached to a different simulation must not reuse a
+        # closure over the previous model's grid spacings
+        self._cfl_cache = (None, None)  # (model, jitted fn)
 
     def __call__(self, sim: "Simulation"):
         from . import diagnostics
-        if self._cfl_fn is None:
+        model, fn = self._cfl_cache
+        if model is not sim.model:
             model = sim.model
-            self._cfl_fn = jax.jit(
+            fn = jax.jit(
                 lambda s, dt: diagnostics.cfl_numbers(model, s, dt))
-        adv, wave = self._cfl_fn(sim.state, sim.dt)
+            self._cfl_cache = (model, fn)
+        adv, wave = fn(sim.state, sim.dt)
         current = max(float(adv), float(wave))
         if current <= 0:
             return
