@@ -296,3 +296,28 @@ class TestClockPrecision:
         assert back.clock.time.dtype == jnp.float64
         assert float(back.clock.time) == float(state.clock.time)
         assert back.h.dtype == jnp.float32
+
+
+def test_field_series_refuses_mixed_snapshot_forms(tmp_path):
+    """A store holding BOTH a single .npy and per-process slabs for one
+    index is two runs' data mixed together — the reader must refuse to
+    guess rather than silently serve the stale single file."""
+    import json as _json
+    d = os.path.join(tmp_path, "store")
+    os.makedirs(os.path.join(d, "A"))
+    np.save(os.path.join(d, "A", "000000.npy"), np.zeros((4, 4)))
+    np.savez(os.path.join(d, "A", "000000.p00000.npz"),
+             data=np.ones((4, 2)), bounds=np.array([0, 4, 0, 2]),
+             shape=np.array([4, 4]))
+    np.savez(os.path.join(d, "A", "000000.p00001.npz"),
+             data=np.ones((4, 2)), bounds=np.array([0, 4, 2, 4]),
+             shape=np.array([4, 4]))
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        _json.dump({"times": [0.0], "iterations": [0],
+                    "fields": ["A"], "grid": None}, f)
+    ts = FieldTimeSeries(d, "A")
+    with pytest.raises(RuntimeError, match="mixed"):
+        ts[0]
+    # slab-only store stitches fine
+    os.remove(os.path.join(d, "A", "000000.npy"))
+    np.testing.assert_array_equal(ts[0], np.ones((4, 4)))
