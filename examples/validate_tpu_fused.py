@@ -10,9 +10,9 @@ the *resident* kernel at that size. This driver therefore:
 
   - selects the stepper by calling ``swmhd_tpu.cli.select_stepper``
     itself — the single source of truth — so each row's recorded
-    ``path`` is the path a production run actually takes
-    (resident at 128², XLA fallback at 64² where Mosaic's 128-lane
-    alignment rejects both kernels);
+    ``path`` is the path a production run actually takes (since the
+    r5 lane-alignment relaxation: the resident Pallas kernel at
+    BOTH 64² and 128²);
   - runs ALL 12 scenario × formulation combos
     ({64²,128²} × {two_Gaussians_low_B, two_Gaussians_high_B,
     low_B_low_U} × {vector_invariant, conservative});
@@ -157,19 +157,19 @@ def main():
         "",
         "VERDICT r4 item 1: every row below ran through the stepper "
         "`cli.py --fused` actually ships — selection by "
-        "`swmhd_tpu.cli.select_stepper` itself (resident Pallas kernel "
-        "at 128², XLA-f32 at 64² where Mosaic's 128-lane alignment "
-        "rejects both kernels), f32 with x64 off exactly as the "
+        "`swmhd_tpu.cli.select_stepper` itself (the resident Pallas "
+        "kernel at both 64² and 128² since the r5 lane-alignment "
+        "relaxation), f32 with x64 off exactly as the "
         "production CLI. Anchors and tolerances are unchanged from the "
         "f64 CPU gate (examples/validation_anchors.py, transcribed from "
         "/root/reference/energy_plots/*.png).",
         "",
         "Companion hardware evidence in validation/tpu_r05/:",
         "- `pytest_tpu_kernels.log` — the TPU-marked equality tests on "
-        "the chip, incl. the NEW 128² resident==windowed==XLA 10-step "
-        "pin for both shipped topologies "
+        "the chip: the 128² resident==windowed==XLA 10-step pin and the "
+        "64² resident==XLA pin, each for both shipped topologies "
         "(tests/test_fused.py::test_resident_windowed_xla_agree_at_128_"
-        "on_tpu).",
+        "on_tpu, ::test_resident_matches_xla_at_64_on_tpu).",
         "- `series/*.csv` — the full per-iteration energy series.",
         "",
         "| formulation | scenario | path | anchors | result |",

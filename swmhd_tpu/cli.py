@@ -68,9 +68,11 @@ def select_stepper(model, state, dt):
     the TPU validation driver (examples/validate_tpu_fused.py) imports
     this so its hardware records cover EXACTLY the shipped path
     (VERDICT r4 item 1). Selection order on one chip: the
-    whole-state-resident multi-step kernel when the state fits VMEM,
-    else the windowed fused kernel, else XLA. On a multi-chip mesh: the
-    sharded fused path (state is returned re-sharded over the mesh).
+    whole-state-resident multi-step kernel when the state fits VMEM
+    (since r5 this includes the 64² scenario class — the resident
+    kernel needs no 128-lane alignment), else the windowed fused
+    kernel, else XLA. On a multi-chip mesh: the sharded fused path
+    (state is returned re-sharded over the mesh).
 
     Every probe ``.lower(state).compile()``s the candidate stepper on
     the actual state, so Mosaic lowering/compile failures fall back

@@ -473,14 +473,18 @@ def resident_step_fn(model: ShallowWaterModel, dt: float, n_steps: int = 1,
     topology combinations are supported (unlike the windowed kernel's
     periodic-x restriction). Applicability is VMEM: roughly
     ``resident_vmem_bytes(model) <= the scoped limit`` (N≲768 f32 on a
-    v5e-class core). Requires Nx % 8 == 0 and Ny % 128 == 0 on TPU.
+    v5e-class core). Requires Nx % 8 == 0 and Ny % 8 == 0 on TPU —
+    unlike the windowed kernel there are no manual HBM window DMAs, so
+    the lane dim does NOT need 128-alignment: Mosaic pads sub-128-lane
+    arrays in-register (verified on-chip at 64², where this kernel runs
+    1.76x the XLA step and matches it to 1e-10 over 10 steps — r5).
 
     Reference behavior accelerated: the whole ``run!`` hot loop
     (SWMHD_example.jl:97, SURVEY §3.3) rather than one substage."""
     g = model.grid
     if not interpret:
-        if g.Ny % 128:
-            raise ValueError(f"resident step needs Ny % 128 == 0 on TPU; "
+        if g.Ny % SUBLANE:
+            raise ValueError(f"resident step needs Ny % 8 == 0 on TPU; "
                              f"Ny={g.Ny}")
         if g.Nx % SUBLANE:
             raise ValueError(f"resident step needs Nx % 8 == 0 on TPU; "

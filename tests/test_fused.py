@@ -337,3 +337,31 @@ def test_resident_windowed_xla_agree_at_128_on_tpu(scenario):
         assert np.max(np.abs(a - b)) / state_scale < 2e-5, (
             f"{scenario}/{name}: resident vs windowed differ by "
             f"{np.max(np.abs(a - b)) / state_scale:.2e}")
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-TPU 64² resident==XLA equality (r5)")
+@pytest.mark.parametrize("scenario", ["two_Gaussians_low_B",
+                                      "low_B_low_U"])
+def test_resident_matches_xla_at_64_on_tpu(scenario):
+    """r5 relaxed the resident kernel's lane-alignment guard (no manual
+    HBM window DMAs -> Mosaic handles 64-lane arrays), so the CLI now
+    ships the resident kernel at 64² too — pin it against XLA over 10
+    compiled steps for both shipped topologies."""
+    from swmhd_tpu import scenarios
+    from swmhd_tpu.ops.fused_step import resident_step_fn
+    model, state, sc = scenarios.build(f"64x64_{scenario}",
+                                       VECTOR_INVARIANT,
+                                       dtype=jnp.float32)
+    ref = jax.jit(model.step_fn(sc.dt, 10))(state)
+    res = jax.jit(resident_step_fn(model, sc.dt, n_steps=10))(state)
+    state_scale = max(
+        float(np.max(np.abs(np.asarray(getattr(ref, n), np.float64))))
+        for n in ("h", "u", "v", "A"))
+    for name in ("h", "u", "v", "A"):
+        a = np.asarray(getattr(res, name), dtype=np.float64)
+        b = np.asarray(getattr(ref, name), dtype=np.float64)
+        assert np.max(np.abs(a - b)) / state_scale < 2e-5, (
+            f"64²/{scenario}/{name}: resident deviates from XLA by "
+            f"{np.max(np.abs(a - b)) / state_scale:.2e}")
