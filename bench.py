@@ -195,7 +195,9 @@ def main():
     # BASELINE config ladder (VERDICT r2 item 10): bench >=3 sizes by
     # default on TPU (512^2 and 4096^2 single-chip alongside the 2048^2
     # headline). SWMHD_BENCH_LADDER overrides; "" disables.
-    default_ladder = "512,4096,8192" if have_roofline else ""
+    # 128 joined in r5 when the resident kernel's lane gate relaxed —
+    # the smallest recorded-scenario size now rides the fast path too
+    default_ladder = "128,512,4096,8192" if have_roofline else ""
     ladder = os.environ.get("SWMHD_BENCH_LADDER", default_ladder)
     if ladder:
         out["ladder"] = {}

@@ -84,6 +84,29 @@ def main():
                 rtol=1e-12, atol=1e-13,
                 err_msg=f"resumed {name} shard {shard.index}")
 
+    # restore into a DIFFERENT mesh layout (the relayout tolerance
+    # restore_sharded documents): the (2,2) checkpoint re-read on a
+    # (4,1) mesh must reproduce the same global state — each process
+    # reads whichever slabs overlap its new shards (shared tmp FS here)
+    mesh41 = multihost.make_pod_mesh((4, 1))
+    dd41 = DomainDecomposition(model, mesh41)
+    back41 = checkpoint.restore_sharded(ckdir, model.grid, mesh41)
+    for name in ("h", "u", "v", "A"):
+        full_want = np.asarray(getattr(ref, name))
+        for shard in getattr(back41, name).addressable_shards:
+            np.testing.assert_allclose(
+                np.asarray(shard.data), full_want[shard.index],
+                rtol=1e-12, atol=1e-13,
+                err_msg=f"relayout {name} shard {shard.index}")
+    resumed41 = jax.jit(dd41.step_fn(0.01, 5))(back41)
+    for name in ("h", "u", "v", "A"):
+        want = np.asarray(getattr(full, name))
+        for shard in getattr(resumed41, name).addressable_shards:
+            np.testing.assert_allclose(
+                np.asarray(shard.data), want[shard.index],
+                rtol=1e-12, atol=1e-13,
+                err_msg=f"relayout-resumed {name} shard {shard.index}")
+
     # pod-safe FieldWriter (r5, VERDICT r4 item 4): drive a sharded
     # Simulation with field snapshots — each process writes only its own
     # slab (no gather), the reader stitches them back to the global field
