@@ -39,9 +39,13 @@ def _add_run_args(p):
                    help="checkpoint file to resume from")
     p.add_argument("--movie", action="store_true",
                    help="render A/speed movie + energy plot after the run")
-    p.add_argument("--fused", action="store_true",
-                   help="drive the run through the fused Pallas substage "
-                        "kernel (TPU; periodic x required)")
+    p.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="drive the run through the fused Pallas kernels "
+                        "(resident/windowed/sharded, with compile-probed "
+                        "fallback to the XLA step). Default: auto — "
+                        "fused on a TPU backend, XLA elsewhere. "
+                        "--no-fused forces the XLA step")
     p.add_argument("--nu", type=float, default=0.0,
                    help="momentum diffusivity (Laplacian; biharmonic with "
                         "--biharmonic)")
@@ -191,7 +195,15 @@ def cmd_run(args):
     os.makedirs(outdir, exist_ok=True)
 
     stepper = None
-    if args.fused:
+    # auto (r5): production defaults to the fused path on TPU — the
+    # compile probes make selection fail-safe, so there is no reason to
+    # ship the slower XLA step unless asked (--no-fused)
+    if args.fused is None:
+        from .ops.fused_step import pallas_available
+        use_fused = pallas_available()
+    else:
+        use_fused = args.fused
+    if use_fused:
         stepper, state, _path = select_stepper(model, state, dt)
     sim = Simulation(model, dt=dt, stop_time=stop_time, stepper=stepper)
     sim.callbacks["progress"] = Callback(
