@@ -36,7 +36,7 @@ jax.config.update("jax_enable_x64", False)
 import jax.numpy as jnp
 import numpy as np
 
-from overlap_aot import build_model, parse_schedule
+from overlap_aot import parse_schedule
 
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
