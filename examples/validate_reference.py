@@ -271,7 +271,60 @@ every dtype (`SWMHD_WENO_EPS` overrides): since r4, non-f64 evaluation
 rescales (betas, eps) by the beta sum — exact-arithmetic no-op for the
 homogeneous weight formulas — so the divide-free rational weights no
 longer underflow at eps⁶ in f32 and the production f32/fused path keeps
-the validated eps=1e-8 semantics (tests/test_advection.py::TestF32Weights)."""
+the validated eps=1e-8 semantics (tests/test_advection.py::TestF32Weights).
+
+## Round-5 attribution of the residual 64² low_B_low_U envelope (VERDICT r4 item 2)
+
+After the r3 fixes the 64² low_B_low_U deviation envelopes sit at 1.84
+(jacobian) / 2.32 (conservative) vs the recorded 0.78 / 1.03 — the
+loosest of the 60 anchors. r5 re-tested every remaining discretization
+candidate, now measured with the reference-convention functionals
+(`diagnostics.reference_energy_report`; the r2-era exonerations used the
+old interpolated functionals, which had masked the r3 fix itself).
+Variant matrix (`benchmarks/exp/r5_lowBlowU_residual.py`, f64, t=0..15):
+
+| variant | jacobian dev_max | conservative dev_max |
+|---|---|---|
+| base (shipped) | 1.842 | 2.315 |
+| `rampbeta0` control (hand-rolled recon path, no change) | 1.842 | 2.315 |
+| `rampbeta`: tracer y-betas on the FULL field −0.05y + A′ (≡ advecting the full field with gradient-BC ghosts, as the reference does) | 1.966 | 2.362 |
+| `nodegrade`: near-wall WENO degradation removed (full 5-pt stencils on clamped ghosts) | 1.842 | 2.315 |
+| both | 1.966 | 2.362 |
+
+Δt sweep (jacobian, same anchors): dev_max = 1.847 / 1.842 / 1.842 /
+1.842 at Δt = 0.02 / 0.01 / 0.005 / 0.0025 — **time discretization
+contributes nothing**; the envelope is purely spatial.
+
+Conclusions, quantitatively:
+
+1. **Wall handling is exonerated**: removing the near-wall stencil
+   degradation changes the envelope by < 0.001 (the wall-normal
+   transport vanishes at the walls, so the degraded stencils barely
+   fire). The r4 term-by-term budget agrees: wall-adjacent terms
+   (vorticity flux −0.006, gravity/mass −0.0001) are two orders below
+   the leak.
+2. **The background split is exonerated**: computing the WENO smoothness
+   indicators on the full ramp-carrying field — algebraically what the
+   reference's gradient-BC ghosts produce — moves the envelope the
+   *wrong* way (1.84 → 1.97). Candidate polynomials are affine-exact
+   either way.
+3. **Δt transcription is exonerated** (table above).
+4. What remains is what the r3 budget already identified: the
+   Lorentz-work/induction mismatch (−0.188 vs +0.137+0.010 integrals) —
+   upwind dissipation of the wound-up A-spiral once it reaches grid
+   scale at 64². This term is a direct function of the WENO weight
+   details of the unpinnable Oceananigans vintage (r3 showed switching
+   Jiang–Shu → WENO-Z alone moved this scenario 6.0 → 1.84 and
+   *reproduces the recorded curve's shape*). At 128², where the spiral
+   is resolved, our envelopes match the recorded values at ratio
+   **1.00×** (jac, 0.532 vs 0.53) and **0.86×** (cons, 0.337 vs 0.39),
+   and the 64² end-state energies agree within 3–4%.
+
+The residual 2.3× at 64² is therefore attributed to grid-scale WENO
+weight/flavor differences against an unpinnable upstream vintage (plus
+reverse-engineered-IC noise), not to any wall, source-term, or time-
+stepping defect — with each alternative hypothesis now carrying a
+measured exoneration. The 3× acceptance gate stands on that evidence."""
 
 
 if __name__ == "__main__":
